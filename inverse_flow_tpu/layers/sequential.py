@@ -1,0 +1,147 @@
+"""Flow composition: the TPU-native FlowSequential.
+
+Reference parity: ``inf/layers/flowsequential.py:8-142``. Differences by
+design:
+
+  * log-det accumulated exactly ONCE per layer (the reference adds
+    ``layer_logdet`` twice — ``flowsequential.py:30-35`` — and prints per
+    layer in the hot loop at ``:36``; neither is reproduced).
+  * everything is a pure function of ``(params, x, rng)`` so the full
+    forward/log_prob/sample/reconstruct close under one ``jax.jit``.
+  * rngs are split per layer index, giving deterministic dequantization /
+    split-prior sampling given a seed.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..distributions import GaussianPrior
+from .base import FlowLayer
+
+
+class Flow:
+    """A sequence of invertible layers with a base distribution.
+
+    Params are a list (one pytree per layer), making the whole model a
+    single pytree suitable for optax / checkpointing / sharding.
+    """
+
+    def __init__(self, base_distribution, layers: Sequence[FlowLayer]):
+        self.base_distribution = base_distribution
+        self.layers = tuple(layers)
+
+    # ------------------------------------------------------------------
+    def init(self, rng, input_shape):
+        """Create all layer params. Returns (params, final_shape)."""
+        params = []
+        shape = tuple(input_shape)
+        for layer in self.layers:
+            rng, sub = jax.random.split(rng)
+            p, shape = layer.init(sub, shape)
+            params.append(p)
+        return params, shape
+
+    def _layer_rngs(self, rng, salt=0):
+        if rng is None:
+            return [None] * len(self.layers)
+        return list(jax.random.split(jax.random.fold_in(rng, salt),
+                                     len(self.layers)))
+
+    # ------------------------------------------------------------------
+    def forward(self, params, x, rng=None, exact=False):
+        """Run all layers; returns (z, log_px) where log_px includes the
+        base log-prob (``flowsequential.py:20-43``)."""
+        rngs = self._layer_rngs(rng)
+        logdet = jnp.zeros((x.shape[0],), jnp.float32)
+        for layer, p, r in zip(self.layers, params, rngs):
+            if exact and layer.has_modified_grad:
+                x, ldj = layer.exact_forward(p, x)
+            else:
+                x, ldj = layer.forward(p, x, rng=r)
+            logdet = logdet + ldj
+        logprob = self.base_distribution.log_prob(x)
+        return x, logprob + logdet
+
+    def log_prob(self, params, x, rng=None, exact=True):
+        """``flowsequential.py:45-46`` — exact path by default."""
+        return self.forward(params, x, rng=rng, exact=exact)[1]
+
+    def cheap_log_prob(self, params, x, rng=None):
+        return self.forward(params, x, rng=rng, exact=False)[1]
+
+    # ------------------------------------------------------------------
+    def sample(self, params, rng, n_samples, exact=False):
+        """Draw from the base and run layers in reverse
+        (``flowsequential.py:88-114``)."""
+        rng, base_rng = jax.random.split(rng)
+        z, _ = self.base_distribution.sample(base_rng, n_samples)
+        rngs = self._layer_rngs(rng, salt=1)
+        for layer, p, r in zip(reversed(self.layers),
+                               reversed(params), reversed(rngs)):
+            if exact and layer.has_modified_grad:
+                z = layer.exact_inverse(p, z)
+            else:
+                z = layer.inverse(p, z, rng=r)
+        return z
+
+    def reconstruct(self, params, x, rng=None, exact=False):
+        """Forward then inverse (``flowsequential.py:116-137``)."""
+        rngs = self._layer_rngs(rng, salt=2)
+        for layer, p, r in zip(self.layers, params, rngs):
+            if exact and layer.has_modified_grad:
+                x, _ = layer.exact_forward(p, x)
+            else:
+                x, _ = layer.forward(p, x, rng=r)
+        for layer, p, r in zip(reversed(self.layers),
+                               reversed(params), reversed(rngs)):
+            if exact and layer.has_modified_grad:
+                x = layer.exact_inverse(p, x)
+            else:
+                x = layer.inverse(p, x, rng=r)
+        return x
+
+    # ------------------------------------------------------------------
+    def data_init(self, params, x, rng=None):
+        """One forward pass applying each layer's data-dependent init
+        (functional replacement for ActNorm's first-batch init,
+        ``actnorm.py:21-27``)."""
+        rngs = self._layer_rngs(rng)
+        new_params = []
+        for layer, p, r in zip(self.layers, params, rngs):
+            p = layer.data_init(p, x)
+            new_params.append(p)
+            x, _ = layer.forward(p, x, rng=r)
+        return new_params
+
+    def recon_loss(self, params, x, rng=None, sym=False, only_R=False):
+        """Sum of layer-local reconstruction losses along the forward pass
+        (``flowsequential.py:80-86`` add_recon_grad fan-out). Returns (B,).
+
+        The reference adds these gradients via separate ``.backward()``
+        calls (``selfnorm.py:216``); summing the losses into one scalar and
+        differentiating once is mathematically identical.
+        """
+        rngs = self._layer_rngs(rng)
+        total = jnp.zeros((x.shape[0],), jnp.float32)
+        for layer, p, r in zip(self.layers, params, rngs):
+            # Each layer's recon loss sees a *detached* input, exactly like
+            # the reference's ``x = self.input.detach()`` (selfnorm.py:189):
+            # gradients reach only that layer's own weights.
+            x = jax.lax.stop_gradient(x)
+            if layer.has_recon_loss:
+                total = total + layer.recon_loss(p, x, sym=sym, only_R=only_R)
+            x, _ = layer.forward(p, x, rng=r)
+        return total
+
+    # ------------------------------------------------------------------
+    @property
+    def preprocessing_layers(self):
+        return [l for l in self.layers if l.is_preprocessing]
+
+    @property
+    def non_preprocessing_layers(self):
+        return [l for l in self.layers if not l.is_preprocessing]

@@ -1,0 +1,149 @@
+"""Unconstrained rational-quadratic splines (Durkan et al.) in JAX.
+
+Reference parity: ``inf/layers/splines/rational_quadratic.py:21-175``. The
+reference's boolean-mask scatter (``:48-63``) and its data-dependent clamping
+guard (``:77-88``) become branch-free ``jnp.where`` masking, which is what
+XLA wants: everything static-shaped, inside/outside handled by select, inputs
+clamped into the interval with a small tolerance before evaluation.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_MIN_BIN_WIDTH = 1e-6
+DEFAULT_MIN_BIN_HEIGHT = 1e-6
+DEFAULT_MIN_DERIVATIVE = 1e-6
+
+
+def _searchsorted(bin_locations, inputs, eps=1e-6):
+    bin_locations = bin_locations.at[..., -1].add(eps)
+    return jnp.sum(inputs[..., None] >= bin_locations, axis=-1) - 1
+
+
+def unconstrained_rational_quadratic_spline(
+        inputs, unnormalized_widths, unnormalized_heights,
+        unnormalized_derivatives, inverse=False, tail_bound=1.0,
+        min_bin_width=DEFAULT_MIN_BIN_WIDTH,
+        min_bin_height=DEFAULT_MIN_BIN_HEIGHT,
+        min_derivative=DEFAULT_MIN_DERIVATIVE):
+    """Linear tails outside [-tail_bound, tail_bound]; RQ spline inside."""
+    inside = jnp.logical_and(inputs >= -tail_bound, inputs <= tail_bound)
+
+    # Pad boundary derivatives so the spline is C1 with slope-1 tails
+    # (rational_quadratic.py:38-46 — derivative init constant makes
+    # softplus(c)+min_derivative == 1).
+    constant = math.log(math.expm1(1.0 - min_derivative))
+    pad = [(0, 0)] * (unnormalized_derivatives.ndim - 1) + [(1, 1)]
+    unnormalized_derivatives = jnp.pad(unnormalized_derivatives, pad)
+    unnormalized_derivatives = unnormalized_derivatives + constant
+
+    # Clamp into the interval (tolerance guard, :82-88) so the in-spline math
+    # is well-defined everywhere; outside values are overwritten below.
+    clamped = jnp.clip(inputs, -tail_bound, tail_bound)
+
+    out_in, ldj_in = rational_quadratic_spline(
+        clamped, unnormalized_widths, unnormalized_heights,
+        unnormalized_derivatives, inverse=inverse,
+        left=-tail_bound, right=tail_bound,
+        bottom=-tail_bound, top=tail_bound,
+        min_bin_width=min_bin_width, min_bin_height=min_bin_height,
+        min_derivative=min_derivative)
+
+    outputs = jnp.where(inside, out_in, inputs)
+    logabsdet = jnp.where(inside, ldj_in, 0.0)
+    return outputs, logabsdet
+
+
+def rational_quadratic_spline(
+        inputs, unnormalized_widths, unnormalized_heights,
+        unnormalized_derivatives, inverse=False,
+        left=0.0, right=1.0, bottom=0.0, top=1.0,
+        min_bin_width=DEFAULT_MIN_BIN_WIDTH,
+        min_bin_height=DEFAULT_MIN_BIN_HEIGHT,
+        min_derivative=DEFAULT_MIN_DERIVATIVE):
+    num_bins = unnormalized_widths.shape[-1]
+
+    widths = jax.nn.softmax(unnormalized_widths, axis=-1)
+    widths = min_bin_width + (1 - min_bin_width * num_bins) * widths
+    cumwidths = jnp.cumsum(widths, axis=-1)
+    cumwidths = jnp.pad(cumwidths,
+                        [(0, 0)] * (cumwidths.ndim - 1) + [(1, 0)])
+    cumwidths = (right - left) * cumwidths + left
+    cumwidths = cumwidths.at[..., 0].set(left)
+    cumwidths = cumwidths.at[..., -1].set(right)
+    widths = cumwidths[..., 1:] - cumwidths[..., :-1]
+
+    derivatives = min_derivative + jax.nn.softplus(unnormalized_derivatives)
+
+    heights = jax.nn.softmax(unnormalized_heights, axis=-1)
+    heights = min_bin_height + (1 - min_bin_height * num_bins) * heights
+    cumheights = jnp.cumsum(heights, axis=-1)
+    cumheights = jnp.pad(cumheights,
+                         [(0, 0)] * (cumheights.ndim - 1) + [(1, 0)])
+    cumheights = (top - bottom) * cumheights + bottom
+    cumheights = cumheights.at[..., 0].set(bottom)
+    cumheights = cumheights.at[..., -1].set(top)
+    heights = cumheights[..., 1:] - cumheights[..., :-1]
+
+    if inverse:
+        bin_idx = _searchsorted(cumheights, inputs)
+    else:
+        bin_idx = _searchsorted(cumwidths, inputs)
+    bin_idx = jnp.clip(bin_idx, 0, num_bins - 1)[..., None]
+
+    def gather(t):
+        return jnp.take_along_axis(t, bin_idx, axis=-1)[..., 0]
+
+    input_cumwidths = gather(cumwidths)
+    input_bin_widths = gather(widths)
+    input_cumheights = gather(cumheights)
+    delta = heights / widths
+    input_delta = gather(delta)
+    input_derivatives = gather(derivatives)
+    input_derivatives_plus_one = gather(derivatives[..., 1:])
+    input_heights = gather(heights)
+
+    if inverse:
+        d_sum = input_derivatives + input_derivatives_plus_one - 2 * input_delta
+        a = ((inputs - input_cumheights) * d_sum
+             + input_heights * (input_delta - input_derivatives))
+        b = (input_heights * input_derivatives
+             - (inputs - input_cumheights) * d_sum)
+        c = -input_delta * (inputs - input_cumheights)
+
+        discriminant = b * b - 4 * a * c
+        discriminant = jnp.maximum(discriminant, 0.0)
+
+        root = (2 * c) / (-b - jnp.sqrt(discriminant))
+        outputs = root * input_bin_widths + input_cumwidths
+
+        theta_one_minus_theta = root * (1 - root)
+        denominator = input_delta + d_sum * theta_one_minus_theta
+        derivative_numerator = input_delta ** 2 * (
+            input_derivatives_plus_one * root ** 2
+            + 2 * input_delta * theta_one_minus_theta
+            + input_derivatives * (1 - root) ** 2)
+        logabsdet = (jnp.log(derivative_numerator)
+                     - 2 * jnp.log(denominator))
+        return outputs, -logabsdet
+    else:
+        theta = (inputs - input_cumwidths) / input_bin_widths
+        theta_one_minus_theta = theta * (1 - theta)
+        d_sum = input_derivatives + input_derivatives_plus_one - 2 * input_delta
+
+        numerator = input_heights * (input_delta * theta ** 2
+                                     + input_derivatives * theta_one_minus_theta)
+        denominator = input_delta + d_sum * theta_one_minus_theta
+        outputs = input_cumheights + numerator / denominator
+
+        derivative_numerator = input_delta ** 2 * (
+            input_derivatives_plus_one * theta ** 2
+            + 2 * input_delta * theta_one_minus_theta
+            + input_derivatives * (1 - theta) ** 2)
+        logabsdet = (jnp.log(derivative_numerator)
+                     - 2 * jnp.log(denominator))
+        return outputs, logabsdet
