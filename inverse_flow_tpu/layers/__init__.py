@@ -20,3 +20,9 @@ __all__ = [
     "FlowActivationLayer", "SmoothLeakyRelu", "LeakyRelu",
     "LearnableLeakyRelu", "SmoothTanh", "SplineActivation", "Identity",
 ]
+
+from .inv_flow import InvFlow, InvFlowNoPad, InvFlowUnit
+from .padded_conv import PaddedConv2d, FincFlowUnit
+
+__all__ += ["InvFlow", "InvFlowNoPad", "InvFlowUnit", "PaddedConv2d",
+            "FincFlowUnit"]

@@ -1,0 +1,140 @@
+"""Inverse-Flow convolution layers (the paper's contribution).
+
+Reference parity: ``inf/layers/inv_conv.py:94-513`` (``inv_flow_with_pad`` /
+``inv_flow_no_pad``) and ``inf/layers/inv_flow.py:14-53`` (``Inv_FlowUnit``,
+the TL->TR->BL->BR chain). The training-direction transform is the INVERSE
+of a masked convolution (computed by :func:`inv_conv_solve`, an MXU
+row-blocked triangular solve with parallel backprop via custom VJP); the
+sampling direction is the masked convolution itself.
+
+Deviations from the reference, by design (SURVEY §7):
+  * The center-tap mask is applied INSIDE the op (``apply_mask``), so
+    protected taps carry exact zero gradient — no ``reset_gradients`` /
+    ``clear_grad`` pass (``inv_conv.py:223-231``, ``experiment.py:15-21``).
+  * The init/mask disagreement (``inv_conv.py:170`` forces tap
+    ``[c, -1, -1, -1] = 1`` while the mask protects ``[c, c, -1, -1]``,
+    ``:233-248``) is resolved to the ``PaddedConv2d`` convention
+    (``conv.py:69-71``): the identity lives on the masked center tap, raw
+    params are initialized to small noise, so T starts near identity.
+  * ldj is EXACTLY 0 in both cheap and exact modes: T is unit lower
+    triangular in raster order by construction, so ``slogdet(T) = 0``
+    identically (the reference burns an O((CHW)^3) dense slogdet to compute
+    this zero on the expensive path, ``inv_conv.py:322-332``).
+  * Orientation flips act on data only; weights are stored in canonical TL
+    orientation (reference flips the stored weights in-place,
+    ``inv_conv.py:198-220``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.inv_conv import apply_mask, inv_conv_solve, masked_conv_apply
+from .base import FlowLayer, zeros_ldj
+
+ORDERS = ("TL", "TR", "BL", "BR")
+
+
+def _flip_axes(order: str):
+    return {"TL": (), "TR": (3,), "BL": (2,), "BR": (2, 3)}[order]
+
+
+def _xavier_noise(rng, shape, gain=0.01):
+    fan_in = shape[1] * shape[2] * shape[3]
+    fan_out = shape[0] * shape[2] * shape[3]
+    std = gain * (2.0 / (fan_in + fan_out)) ** 0.5
+    return std * jax.random.normal(rng, shape, jnp.float32)
+
+
+@dataclass(frozen=True)
+class InvFlow(FlowLayer):
+    """``inv_flow_with_pad`` equivalent (``inv_conv.py:94-364``).
+
+    forward  (training): y = T^{-1} x   — inverse of the masked conv
+    inverse  (sampling): x = T y        — the masked conv itself
+    ldj = 0 exactly (unit-triangular T).
+    """
+
+    channels: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    order: str = "TL"
+    groups: int = 1
+
+    def __post_init__(self):
+        assert self.order in ORDERS, f"unknown order: {self.order}"
+        assert self.channels % self.groups == 0
+
+    def init(self, rng, shape):
+        kh, kw = self.kernel_size
+        w = _xavier_noise(
+            rng, (self.channels, self.channels // self.groups, kh, kw))
+        return {"w": w}, shape
+
+    def _w_eff(self, params):
+        w = params["w"]
+        if self.groups == 1:
+            return apply_mask(w)
+        cg = self.channels // self.groups
+        wg = w.reshape(self.groups, cg, cg, *self.kernel_size)
+        wg = jax.vmap(apply_mask)(wg)
+        return wg.reshape(self.channels, cg, *self.kernel_size)
+
+    def forward(self, params, x, rng=None):
+        ax = _flip_axes(self.order)
+        x = jnp.flip(x, ax) if ax else x
+        y = inv_conv_solve(x, self._w_eff(params), self.groups)
+        y = jnp.flip(y, ax) if ax else y
+        return y, zeros_ldj(y)
+
+    def inverse(self, params, z, rng=None):
+        ax = _flip_axes(self.order)
+        z = jnp.flip(z, ax) if ax else z
+        x = masked_conv_apply(z, self._w_eff(params), self.groups)
+        x = jnp.flip(x, ax) if ax else x
+        return x
+
+
+# The reference's no-pad variant calls the same CUDA kernel (whose border
+# truncation equals TL zero padding), so it is the TL layer without flips
+# (``inv_conv.py:365-481``).
+@dataclass(frozen=True)
+class InvFlowNoPad(InvFlow):
+    order: str = "TL"
+
+
+@dataclass(frozen=True)
+class InvFlowUnit(FlowLayer):
+    """Four chained InvFlow convs, TL -> TR -> BL -> BR
+    (``inf/layers/inv_flow.py:28-53``)."""
+
+    channels: int
+    kernel_size: Tuple[int, int] = (3, 3)
+
+    @property
+    def convs(self):
+        return tuple(InvFlow(self.channels, self.kernel_size, order=o)
+                     for o in ORDERS)
+
+    def init(self, rng, shape):
+        params = []
+        for conv in self.convs:
+            rng, sub = jax.random.split(rng)
+            p, shape = conv.init(sub, shape)
+            params.append(p)
+        return {"convs": params}, shape
+
+    def forward(self, params, x, rng=None):
+        ldj = zeros_ldj(x)
+        for conv, p in zip(self.convs, params["convs"]):
+            x, l = conv.forward(p, x)
+            ldj = ldj + l
+        return x, ldj
+
+    def inverse(self, params, z, rng=None):
+        for conv, p in zip(reversed(self.convs), reversed(params["convs"])):
+            z = conv.inverse(p, z)
+        return z

@@ -1,0 +1,285 @@
+"""Inverse of a masked convolution — the paper's core op, TPU-native.
+
+This replaces the reference CUDA wavefront kernels
+(``inf/utils/inv_conv_cuda/inv_conv_with_bp_kernel_general.cu``):
+
+  * ``inverse`` (:12-129)  -> :func:`inv_conv_solve` (training forward)
+  * ``forward`` (:141-264) -> :func:`masked_conv_apply` (sampling/reverse)
+  * ``dy``      (:272-483) -> transposed solve inside the custom VJP
+  * ``dw``      (:496-735) -> one conv weight-gradient inside the custom VJP
+
+Design (TPU-first, not a translation)
+-------------------------------------
+The reference marches anti-diagonals with one kernel launch +
+``cudaDeviceSynchronize`` per (diagonal, channel-group) — ~(H+W)*C/4 launches
+per op. Anti-diagonals are hostile to the TPU's (8,128) tiling. Instead we
+note that in raster order the conv operator ``T`` is block-banded lower
+triangular, and solve it **row-blocked**:
+
+  1. Build from the kernel, once per call, dense per-row matrices:
+     ``M0``  (CW x CW): within-row dependence (kernel row KH-1),
+     ``B_r`` (CW x CW): dependence on row h-r (kernel row KH-1-r).
+  2. Precompute ``M0^{-1}`` (one small LU) and fold it in:
+     ``A_r = M0^{-1} B_r``, ``c = x @ M0^{-T}`` for ALL rows in one large
+     MXU matmul.
+  3. ``lax.scan`` over H rows: ``y_h = c_h - sum_r y_{h-r} @ A_r^T`` — each
+     step ONE dense (B, (KH-1)*CW) @ ((KH-1)*CW, CW) matmul on the MXU.
+
+Sequential depth is H (vs (H+W-1)*C/4 host-synced launches), and every step
+is MXU-dense. The same machinery solves the transposed system for the input
+gradient, so the backward pass needs no impulse-response correlation
+(``dy`` kernel2's O(H^2 W^2) loop) and no 6-D sensitivity tensor (``dw``
+kernel1, reference ``inv_conv.py:70`` — 9x activation memory for 3x3).
+
+Math of the VJP (y = T(W)^{-1} x):
+  dL/dx = T^{-T} g   — solve on the spatially-flipped cotangent with the
+                        channel-transposed kernel (upper-tri becomes
+                        lower-tri in flipped coordinates).
+  dL/dW = -wgrad(y, dL/dx) — since dy = -T^{-1} dT y, the weight cotangent
+                        is minus the standard conv weight-gradient evaluated
+                        at (input=y, cotangent=dL/dx).
+
+Masking convention (canonical TL orientation) follows ``PaddedConv2d``
+(``inf/layers/conv.py:64-97``): center tap ``W[c, c, -1, -1] = 1`` and
+``W[c, c'>c, -1, -1] = 0`` — the Jacobian is unit lower triangular, so the
+layer is exactly volume preserving (ldj = 0). The reference's
+init-vs-mask disagreement (``inv_conv.py:170`` vs ``:233-248``) is resolved
+by applying the mask *inside* the op, which also makes gradient masking
+automatic (no ``reset_gradients`` / ``clear_grad`` hack,
+``experiment.py:15-21``).
+
+The 4 pad orders TL/TR/BL/BR are handled by spatial flips exactly as the
+reference does (``inv_conv.py:198-220``); ``groups`` generalizes the CUDA
+kernels' hard-coded 4-way channel grouping (``order_stride = C/4``,
+``inv_conv_with_bp_kernel_general.cu:96``) to any divisor of C.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_HI = lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Masking
+# ---------------------------------------------------------------------------
+
+def center_mask(c_out: int, c_in: int, kh: int, kw: int):
+    """Mask that zeroes the center tap's diagonal + upper triangle.
+
+    Canonical TL orientation (``conv.py:82-97`` without order flips).
+    Returns (mask, center_eye): ``w_eff = w * mask + center_eye`` has
+    ``w_eff[c, c, -1, -1] = 1`` and ``w_eff[c, c' > c, -1, -1] = 0``.
+    """
+    mask = jnp.ones((c_out, c_in, kh, kw), jnp.float32)
+    co = lax.broadcasted_iota(jnp.int32, (c_out, c_in), 0)
+    ci = lax.broadcasted_iota(jnp.int32, (c_out, c_in), 1)
+    tri = (ci >= co).astype(jnp.float32)          # diag + upper
+    mask = mask.at[:, :, -1, -1].add(-tri)
+    eye = jnp.zeros((c_out, c_in, kh, kw), jnp.float32)
+    eye = eye.at[:, :, -1, -1].set(jnp.eye(c_out, c_in, dtype=jnp.float32))
+    return mask, eye
+
+
+def apply_mask(w):
+    """``w_eff = w*mask + I_center`` — unit-lower-triangular center tap."""
+    mask, eye = center_mask(*w.shape)
+    return w * mask + eye
+
+
+# ---------------------------------------------------------------------------
+# The masked convolution itself (sampling direction / flow reverse)
+# ---------------------------------------------------------------------------
+
+def masked_conv_apply(y, w_eff, groups: int = 1):
+    """``z = T y``: conv with implicit TL zero padding (KH-1 top, KW-1 left).
+
+    Equivalent of the CUDA ``forward`` op (border truncation in the
+    recurrence == TL zero padding).
+    """
+    kh, kw = w_eff.shape[2], w_eff.shape[3]
+    return lax.conv_general_dilated(
+        y, w_eff,
+        window_strides=(1, 1),
+        padding=((kh - 1, 0), (kw - 1, 0)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+        precision=_HI,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row-matrix construction
+# ---------------------------------------------------------------------------
+
+def _row_matrices(w_eff, width: int):
+    """Build the (KH, CW, CW) stack of per-row dependence matrices.
+
+    Index r=0 is the within-row matrix M0; r>=1 maps row h-r into row h.
+    Row vectors are flattened as (w, c) -> w*C + c so that M0 is elementwise
+    lower triangular (blocks below the diagonal are full, diagonal blocks
+    are the unit-lower-triangular center tap).
+
+    entry[r, (wi, c), (wj, c')] = w_eff[c, c', KH-1-r, KW-1-(wi-wj)]
+                                  for 0 <= wi-wj <= KW-1.
+    """
+    c_out, c_in, kh, kw = w_eff.shape
+    wi = lax.broadcasted_iota(jnp.int32, (width, width), 0)
+    wj = lax.broadcasted_iota(jnp.int32, (width, width), 1)
+    diff = wi - wj
+    valid = jnp.logical_and(diff >= 0, diff <= kw - 1)
+    tap = kw - 1 - jnp.clip(diff, 0, kw - 1)                  # (W, W)
+    # gather taps: kernel rows reversed so r indexes "rows above".
+    k_rows = w_eff[:, :, ::-1, :]                             # (C, C, KH, KW)
+    gathered = k_rows[:, :, :, tap]                           # (C, C, KH, W, W)
+    gathered = jnp.where(valid[None, None, None], gathered, 0.0)
+    # (KH, W, C, W, C) -> (KH, WC, WC)
+    mats = jnp.transpose(gathered, (2, 3, 0, 4, 1))
+    return mats.reshape(kh, width * c_out, width * c_in)
+
+
+# ---------------------------------------------------------------------------
+# The solve (training direction): y = T^{-1} x
+# ---------------------------------------------------------------------------
+
+def _solve_ungrouped(x, w_eff):
+    b, c, h, width = x.shape
+    kh = w_eff.shape[2]
+    cw = c * width
+
+    mats = _row_matrices(w_eff, width)                        # (KH, CW, CW)
+    m0_inv = jnp.linalg.inv(mats[0])                          # (CW, CW)
+
+    # rows flattened (w, c): (B, H, W, C) -> (B, H, CW)
+    x_rows = jnp.transpose(x, (0, 2, 3, 1)).reshape(b, h, cw)
+
+    # c = M0^{-1} x for ALL rows at once: one big MXU matmul.
+    c_rows = jnp.einsum("bhi,ji->bhj", x_rows, m0_inv, precision=_HI)
+
+    if kh == 1:
+        y_rows = c_rows
+    else:
+        # A_big: ((KH-1)*CW, CW), ordered r=1..KH-1.
+        a_fold = jnp.einsum("ji,rik->rjk", m0_inv, mats[1:], precision=_HI)
+        a_big = jnp.transpose(a_fold, (0, 2, 1)).reshape((kh - 1) * cw, cw)
+
+        def step(hist, c_h):
+            # hist: (B, KH-1, CW), hist[:, r-1] = y_{h-r}
+            contrib = jnp.einsum("bk,kj->bj",
+                                 hist.reshape(b, (kh - 1) * cw), a_big,
+                                 precision=_HI)
+            y_h = c_h - contrib
+            hist = jnp.concatenate([y_h[:, None], hist[:, :-1]], axis=1)
+            return hist, y_h
+
+        hist0 = jnp.zeros((b, kh - 1, cw), x.dtype)
+        _, y_rows = lax.scan(step, hist0, jnp.transpose(c_rows, (1, 0, 2)))
+        y_rows = jnp.transpose(y_rows, (1, 0, 2))             # (B, H, CW)
+
+    y = y_rows.reshape(b, h, width, c)
+    return jnp.transpose(y, (0, 3, 1, 2))
+
+
+def _solve(x, w_eff, groups: int = 1):
+    if groups == 1:
+        return _solve_ungrouped(x, w_eff)
+    b, c, h, width = x.shape
+    cg = c // groups
+    xg = x.reshape(b, groups, cg, h, width)
+    wg = w_eff.reshape(groups, cg, cg, *w_eff.shape[2:])
+    yg = jax.vmap(_solve_ungrouped, in_axes=(1, 0), out_axes=1)(xg, wg)
+    return yg.reshape(b, c, h, width)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp: parallel backprop without materializing sensitivities
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def inv_conv_solve(x, w_eff, groups: int = 1):
+    """Solve ``T(w_eff) y = x``; y is the flow's training-direction output.
+
+    ``w_eff`` must already satisfy the center-tap mask (``apply_mask``) —
+    or, for emerging-style AR convs, have any invertible triangular
+    structure in raster order.
+    """
+    return _solve(x, w_eff, groups)
+
+
+def _inv_conv_fwd(x, w_eff, groups):
+    y = _solve(x, w_eff, groups)
+    return y, (y, w_eff)
+
+
+def _transpose_kernel(w_eff, groups):
+    """Channel-transpose respecting group block structure."""
+    if groups == 1:
+        return jnp.transpose(w_eff, (1, 0, 2, 3))
+    c = w_eff.shape[0]
+    cg = c // groups
+    wg = w_eff.reshape(groups, cg, cg, *w_eff.shape[2:])
+    wg = jnp.transpose(wg, (0, 2, 1, 3, 4))
+    return wg.reshape(c, cg, *w_eff.shape[2:])
+
+
+def _inv_conv_bwd(groups, res, g):
+    y, w_eff = res
+    kh, kw = w_eff.shape[2], w_eff.shape[3]
+
+    # dx = T^{-T} g : lower-triangular again in flipped coordinates.
+    g_f = jnp.flip(g, (2, 3))
+    w_t = _transpose_kernel(w_eff, groups)
+    dx = jnp.flip(_solve(g_f, w_t, groups), (2, 3))
+
+    # dW = -wgrad(y, dx) over TL-padded y; pure conv, no 6-D tensor.
+    y_pad = jnp.pad(y, ((0, 0), (0, 0), (kh - 1, 0), (kw - 1, 0)))
+    if groups == 1:
+        dw = -_wgrad(dx, y_pad, kh, kw)
+    else:
+        b, c = y.shape[0], y.shape[1]
+        cg = c // groups
+        dxs = jnp.split(dx, groups, axis=1)
+        ys = jnp.split(y_pad, groups, axis=1)
+        dw = -jnp.concatenate(
+            [_wgrad(d, yp, kh, kw) for d, yp in zip(dxs, ys)], axis=0)
+    return dx, dw
+
+
+def _wgrad(g, x_pad, kh, kw):
+    """dK[c,c',a,b] = sum_{n,h,w} g[n,c,h,w] * x_pad[n,c',h+a,w+b]."""
+    out = lax.conv_general_dilated(
+        jnp.transpose(x_pad, (1, 0, 2, 3)),
+        jnp.transpose(g, (1, 0, 2, 3)),
+        window_strides=(1, 1),
+        padding=((0, 0), (0, 0)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+        precision=_HI,
+    )  # (Cin, Cout, KH, KW)
+    return jnp.transpose(out[:, :, :kh, :kw], (1, 0, 2, 3))
+
+
+inv_conv_solve.defvjp(_inv_conv_fwd, _inv_conv_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Dense oracle (tests / exact paths) — the sparse-Toeplitz equivalent
+# ---------------------------------------------------------------------------
+
+def dense_operator(w_eff, c, h, width, groups: int = 1):
+    """Materialize T as a dense (CHW, CHW) matrix (flattened NCHW order).
+
+    Equivalent of ``get_sparse_toeplitz`` (``inf/utils/toeplitz.py:9-44``)
+    for the TL-padded masked conv; used by exact logdet / exact inverse
+    paths and as the test oracle.
+    """
+    eye = jnp.eye(c * h * width, dtype=jnp.float32)
+    basis = eye.reshape(c * h * width, c, h, width)
+    cols = masked_conv_apply(basis, w_eff, groups)
+    return cols.reshape(c * h * width, c * h * width).T

@@ -53,7 +53,8 @@ def check_logdet(layer, params, x, rng=None, atol=1e-4, rtol=1e-4):
 
     for i in range(min(2, x.shape[0])):
         xi = x[i].reshape(-1)
-        jac = jax.jacfwd(lambda v: flat_fwd(v, x.shape[1:]))(xi)
+        # jacrev (not jacfwd): layers with custom_vjp support reverse mode
+        jac = jax.jacrev(lambda v: flat_fwd(v, x.shape[1:]))(xi)
         _, ld_true = jnp.linalg.slogdet(jac)
         np.testing.assert_allclose(float(ldj[i]), float(ld_true),
                                    atol=atol, rtol=rtol)
@@ -184,3 +185,43 @@ def test_splitprior():
     # The un-factored half must round-trip exactly through the coupling.
     z2, _ = layer.forward(params, x_rec)
     np.testing.assert_allclose(np.asarray(z), np.asarray(z2), atol=1e-4)
+
+
+# --- invertible convolutions (the paper's layers) --------------------------
+from inverse_flow_tpu.layers import (InvFlow, InvFlowNoPad, InvFlowUnit,
+                                     PaddedConv2d, FincFlowUnit)
+
+
+@pytest.mark.parametrize("order", ["TL", "TR", "BL", "BR"])
+def test_inv_flow_orders(order):
+    layer, params, x, _ = _make(InvFlow(IMG_SHAPE[0], (3, 3), order=order),
+                                seed=11)
+    # bump weights so the transform is nontrivial
+    params = {"w": params["w"] + 0.1 * jax.random.normal(
+        jax.random.PRNGKey(12), params["w"].shape)}
+    check_inverse(layer, params, x, atol=2e-3)
+    check_logdet(layer, params, x, atol=1e-3)  # must be exactly 0
+
+
+def test_inv_flow_no_pad_and_unit():
+    layer, params, x, _ = _make(InvFlowNoPad(IMG_SHAPE[0], (2, 2)), seed=13)
+    check_inverse(layer, params, x, atol=2e-3)
+    check_logdet(layer, params, x, atol=1e-3)
+
+    unit, uparams, x, _ = _make(InvFlowUnit(IMG_SHAPE[0], (2, 2)), seed=14)
+    check_inverse(unit, uparams, x, atol=2e-3)
+    check_logdet(unit, uparams, x, atol=1e-3)
+
+
+@pytest.mark.parametrize("order", ["TL", "BR"])
+def test_padded_conv(order):
+    layer, params, x, _ = _make(PaddedConv2d(IMG_SHAPE[0], (3, 3),
+                                             order=order), seed=15)
+    check_inverse(layer, params, x, atol=2e-3)
+    check_logdet(layer, params, x, atol=1e-3)
+
+
+def test_fincflow_unit():
+    layer, params, x, _ = _make(FincFlowUnit(IMG_SHAPE[0], (3, 3)), seed=16)
+    check_inverse(layer, params, x, atol=2e-3)
+    check_logdet(layer, params, x, atol=1e-3)
