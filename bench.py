@@ -1,0 +1,109 @@
+"""Benchmark entry point — prints ONE JSON line for the driver.
+
+Flagship model: the if_glow_mnist configuration (L=2 blocks x K=16 steps,
+coupling width 512, batch 100, 28x28 inputs — reference
+``inf/experiments/if_glow_mnist.py:150-159``). Measures:
+
+  * train step time (ms/batch): jitted loss+grad+update, trimmed mean —
+    the reference's ``Batch Time Mean`` convention
+    (``inf/train/experiment.py:259-262,326-331``);
+  * sampling latency (ms/image): n=1 repeated with 20% head/tail trim
+    (``experiment.py:377-400``).
+
+Primary metric: train step time. ``vs_baseline`` is the speedup ratio
+(baseline_ms / ours_ms) when BASELINE.json carries a measured reference
+number; the reference repo publishes none (``published: {}``), so it is
+null until a baseline measurement lands.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from inverse_flow_tpu.models.glow import build_glow
+    from inverse_flow_tpu.data import synthetic
+
+    batch = 100
+    flow = build_glow((1, 28, 28), step_kind="inv_conv_no_pad",
+                      num_blocks=2, block_size=16, coupling_width=512,
+                      actnorm=True, split_prior=True, activation="Spline",
+                      n_bins=5, tail_bound=20.0)
+    rng = jax.random.PRNGKey(0)
+    params, _ = flow.init(rng, (1, 28, 28))
+    x = jnp.asarray(synthetic.smooth_images(batch, (1, 28, 28)), jnp.float32)
+    params = flow.data_init(params, x, rng=rng)
+
+    import optax
+    tx = optax.adam(1e-5)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, x, rng):
+        def loss_fn(p):
+            return -jnp.mean(flow.forward(p, x, rng=rng)[1])
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        params2 = jax.tree_util.tree_map(lambda a, b: a + b, params, updates)
+        return params2, opt_state2, loss
+
+    # compile
+    params, opt_state, loss = train_step(params, opt_state, x, rng)
+    jax.block_until_ready(loss)
+
+    n_iter = 30
+    times = []
+    for i in range(n_iter):
+        r = jax.random.fold_in(rng, i)
+        t0 = time.perf_counter()
+        params, opt_state, loss = train_step(params, opt_state, x, r)
+        jax.block_until_ready(loss)
+        times.append((time.perf_counter() - t0) * 1e3)
+    times = sorted(times)[2:-2]  # trim outliers
+    step_ms = float(np.mean(times))
+
+    # sampling latency (ms/image, n=1)
+    sample_one = jax.jit(lambda p, r: flow.sample(p, r, 1))
+    out = sample_one(params, rng)
+    jax.block_until_ready(out)
+    stimes = []
+    for i in range(20):
+        r = jax.random.fold_in(rng, 1000 + i)
+        t0 = time.perf_counter()
+        out = sample_one(params, r)
+        jax.block_until_ready(out)
+        stimes.append((time.perf_counter() - t0) * 1e3)
+    sample_ms = float(np.mean(sorted(stimes)[4:-4]))
+
+    baseline_ms = None
+    try:
+        with open("BASELINE.json") as f:
+            baseline_ms = json.load(f).get("published", {}).get(
+                "glow_mnist_train_step_ms")
+    except Exception:
+        pass
+
+    result = {
+        "metric": "glow_mnist_train_step",
+        "value": round(step_ms, 3),
+        "unit": "ms/batch",
+        "vs_baseline": (round(baseline_ms / step_ms, 3)
+                        if baseline_ms else None),
+        "extra": {
+            "sample_latency_ms_per_image": round(sample_ms, 3),
+            "batch_size": batch,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

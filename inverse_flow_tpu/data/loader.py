@@ -1,0 +1,85 @@
+"""In-memory batch loader with per-epoch shuffling.
+
+The torch ``DataLoader`` equivalent for this framework's datasets: all the
+reference datasets fit in host memory (MNIST/CIFAR/ImageNet32 uint8), so the
+loader is an ndarray + shuffle + static-shape batches (drop_last) — static
+shapes keep every train step hitting the same XLA executable.
+
+Optional data augmentation hooks mirror the reference transforms
+(``inf/datasets/cifar10.py:12-19``: random flip, edge-pad + random
+translate + center crop). ``ToTensorNoNorm`` semantics are preserved: raw
+0-255 values, HWC -> CHW (``inf/train/datatransforms.py:5-11``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+
+class ArrayLoader:
+    def __init__(self, data: np.ndarray, batch_size: int, shuffle=False,
+                 seed: int = 0, drop_last=True,
+                 augment: Optional[Callable] = None):
+        assert data.ndim >= 2
+        self.data = data
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.augment = augment
+        self._rng = np.random.RandomState(seed)
+        self.data_shape = tuple(data.shape[1:])
+
+    def __len__(self):
+        n = self.data.shape[0] // self.batch_size
+        if not self.drop_last and self.data.shape[0] % self.batch_size:
+            n += 1
+        return max(1, n)
+
+    def __iter__(self):
+        idx = np.arange(self.data.shape[0])
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        stop = (len(idx) - self.batch_size + 1 if self.drop_last
+                else len(idx))
+        if stop <= 0:
+            stop = 1
+        for start in range(0, max(1, stop), self.batch_size):
+            batch = self.data[idx[start:start + self.batch_size]]
+            batch = batch.astype(np.float32)
+            if self.augment is not None:
+                batch = self.augment(batch, self._rng)
+            yield batch
+
+
+def random_flip_lr(batch, rng):
+    flip = rng.rand(batch.shape[0]) < 0.5
+    batch[flip] = batch[flip][..., ::-1]
+    return batch
+
+
+def pad_translate_crop(pad: int):
+    """Edge-pad then random translate + center crop (cifar10.py:14-17)."""
+
+    def fn(batch, rng):
+        b, c, h, w = batch.shape
+        padded = np.pad(batch, ((0, 0), (0, 0), (pad, pad), (pad, pad)),
+                        mode="edge")
+        out = np.empty_like(batch)
+        offs = rng.randint(0, 2 * pad + 1, size=(b, 2))
+        for i in range(b):
+            oy, ox = offs[i]
+            out[i] = padded[i, :, oy:oy + h, ox:ox + w]
+        return out
+
+    return fn
+
+
+def compose(*fns):
+    def fn(batch, rng):
+        for f in fns:
+            batch = f(batch, rng)
+        return batch
+
+    return fn

@@ -1,0 +1,68 @@
+"""Timescaling sweeps: batch time vs input size.
+
+Reference parity: ``inf/experiments/if_timescaling.py:98-151`` /
+``snf_timescaling.py:77-124`` — train a small stack on synthetic tensors of
+growing size, record ms/batch curves (paper Fig. 4). Results go to a JSONL
+file ``<name>_timescale.jsonl``.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run_timescaling(name="if_timescaling", sizes=None, batch_size=128,
+                    n_layers=2, iters=20, smoke=False):
+    from ..distributions import GaussianPrior
+    from ..layers import Flow, SelfNormConv
+    from ..layers.inv_flow import InvFlowNoPad
+
+    if sizes is None:
+        sizes = [8, 16, 32, 64, 128] if not smoke else [8, 16]
+    if smoke:
+        iters = 3
+        batch_size = 16
+
+    out_path = f"./{name}_timescale.jsonl"
+    results = []
+    for s in sizes:
+        shape = (1, s, s)
+        if name.startswith("snf"):
+            layers = [SelfNormConv(1, 1, (3, 3), bias=False, padding=1)
+                      for _ in range(n_layers)]
+        else:
+            layers = [InvFlowNoPad(1, (2, 2)) for _ in range(n_layers)]
+        flow = Flow(GaussianPrior(shape), layers)
+        rng = jax.random.PRNGKey(0)
+        params, _ = flow.init(rng, shape)
+
+        @jax.jit
+        def loss_grad(params, x):
+            def f(p):
+                return -jnp.mean(flow.forward(p, x)[1])
+            return jax.value_and_grad(f)(params)
+
+        x = jnp.asarray(np.random.RandomState(0).randn(
+            batch_size, *shape), jnp.float32)
+        # compile
+        l, g = loss_grad(params, x)
+        jax.block_until_ready(l)
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            l, g = loss_grad(params, x)
+            jax.block_until_ready(l)
+            times.append((time.perf_counter() - t0) * 1e3)
+        rec = {"size": s, "batch": batch_size,
+               "ms_mean": float(np.mean(times)),
+               "ms_std": float(np.std(times))}
+        results.append(rec)
+        print(json.dumps(rec))
+        with open(out_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    return 0

@@ -26,3 +26,10 @@ from .padded_conv import PaddedConv2d, FincFlowUnit
 
 __all__ += ["InvFlow", "InvFlowNoPad", "InvFlowUnit", "PaddedConv2d",
             "FincFlowUnit"]
+
+from .selfnorm import SelfNormConv, SelfNormFC
+from .emerging import Emerging, SquareAutoRegressiveConv2d, Flip2d
+from .convexp import ConvExp
+
+__all__ += ["SelfNormConv", "SelfNormFC", "Emerging",
+            "SquareAutoRegressiveConv2d", "Flip2d", "ConvExp"]

@@ -1,0 +1,5 @@
+from .glow import (build_preprocess, build_glow, build_cnn_flow,
+                   build_fc_flow)
+
+__all__ = ["build_preprocess", "build_glow", "build_cnn_flow",
+           "build_fc_flow"]

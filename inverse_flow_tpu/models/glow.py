@@ -1,0 +1,144 @@
+"""Model builders: the Glow-style zoo of the reference's experiment scripts.
+
+Reference parity: the ``create_model`` functions of
+``inf/experiments/if_glow_mnist.py:33-132`` (glow: squeeze + K steps of
+[actnorm? sublayer activation coupling] per block, split-prior between
+blocks), ``if_cnn_mnist.py:28-70`` (cnn: stacked sublayers + activations
+with squeeze between blocks), ``exact_fc_mnist.py:24-50`` (fc), and their
+selfnorm / conv1x1 / fincflow / emerging / exponential siblings.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..distributions import GaussianPrior, UniformDistribution
+from ..layers import (ActNorm, Conv1x1, ConvExp, Coupling, Dequantization,
+                      Emerging, FincFlowUnit, Flow, Identity, InvFlow,
+                      InvFlowNoPad, InvFlowUnit, LogitTransform,
+                      Normalization, SelfNormConv, SelfNormFC,
+                      SmoothLeakyRelu, SplineActivation, SplitPrior, Squeeze)
+
+
+def make_activation(name: str, n_bins=5, tail_bound=20.0):
+    """Activation factory (``if_glow_mnist.py:42-46``)."""
+    if name in (None, "None", "none"):
+        return None
+    if name == "SLR":
+        return lambda size: SmoothLeakyRelu(alpha=0.3)
+    if name == "Spline":
+        return lambda size: SplineActivation(tuple(size), n_bins=n_bins,
+                                             tail_bound=tail_bound,
+                                             individual_weights=True)
+    if name == "Identity":
+        return lambda size: Identity()
+    raise ValueError(f"unknown activation: {name}")
+
+
+def build_preprocess(data_size, alpha=1e-6):
+    """Dequant + normalize + logit (``if_glow_mnist.py:50-55``)."""
+    return [
+        Dequantization(UniformDistribution(tuple(data_size))),
+        Normalization(translation=0.0, scale=256.0),
+        Normalization(translation=-alpha, scale=1.0 / (1.0 - 2.0 * alpha)),
+        LogitTransform(),
+    ]
+
+
+def _step_layer(kind: str, c: int, size, **kw):
+    """The per-step invertible sublayer selected by experiment flags
+    (``if_glow_mnist.py:64-124``)."""
+    if kind == "snf":
+        return SelfNormConv(c, c, (1, 1), bias=True)
+    if kind == "snf_cnn":
+        return SelfNormConv(c, c, (3, 3), bias=True, padding=1)
+    if kind == "ff":
+        return FincFlowUnit(c, (3, 3))
+    if kind == "inv_conv":
+        return InvFlow(c, kw.get("kernel", (3, 3)), order="TL")
+    if kind == "inv_flow_unit":
+        return InvFlowUnit(c, kw.get("kernel", (3, 3)))
+    if kind == "inv_conv_no_pad":
+        return InvFlowNoPad(c, kw.get("kernel", (2, 2)))
+    if kind == "conv1x1":
+        return Conv1x1(c)
+    if kind == "emerging":
+        return Emerging(c)
+    if kind == "convexp":
+        return ConvExp(tuple(size))
+    raise ValueError(f"unknown step layer: {kind}")
+
+
+def build_glow(data_size=(1, 28, 28), step_kind="inv_conv_no_pad",
+               num_blocks=2, block_size=16, coupling_width=512,
+               actnorm=True, split_prior=True, activation="Spline",
+               n_bins=5, tail_bound=20.0, if_kernel_size=3, alpha=1e-7):
+    """Glow stack (``if_glow_mnist.py:33-132``)."""
+    act = make_activation(activation, n_bins=n_bins, tail_bound=tail_bound)
+    layers = build_preprocess(data_size, alpha=alpha)
+    size = tuple(data_size)
+    for l in range(num_blocks):
+        layers.append(Squeeze())
+        size = (size[0] * 4, size[1] // 2, size[2] // 2)
+        for k in range(block_size):
+            if actnorm:
+                layers.append(ActNorm(size[0]))
+            layers.append(_step_layer(step_kind, size[0], size,
+                                      kernel=(if_kernel_size,
+                                              if_kernel_size)))
+            if act is not None:
+                layers.append(act(size))
+            layers.append(Coupling(size, width=coupling_width))
+        if split_prior and l < num_blocks - 1:
+            layers.append(SplitPrior(size, width=coupling_width))
+            size = (size[0] // 2, size[1], size[2])
+    return Flow(GaussianPrior(size), layers)
+
+
+def build_cnn_flow(data_size=(1, 28, 28), step_kind="inv_conv_no_pad",
+                   num_blocks=3, block_size=16, activation="Spline",
+                   n_bins=10, tail_bound=30.0, kernel=(2, 2), alpha=1e-6):
+    """Plain CNN stack with squeezes between blocks
+    (``if_cnn_mnist.py:28-70``, ``emerging_cnn_mnist.py:48-76``,
+    ``exponential_cnn_mnist.py:21-49``)."""
+    act = make_activation(activation, n_bins=n_bins, tail_bound=tail_bound)
+    layers = build_preprocess(data_size, alpha=alpha)
+    size = tuple(data_size)
+    for b in range(num_blocks):
+        for l in range(block_size):
+            layers.append(_step_layer(step_kind, size[0], size,
+                                      kernel=kernel))
+            if act is not None and not (b == num_blocks - 1
+                                        and l == block_size - 1):
+                layers.append(act(size))
+        if b != num_blocks - 1:
+            layers.append(Squeeze())
+            size = (size[0] * 4, size[1] // 2, size[2] // 2)
+    return Flow(GaussianPrior(size), layers)
+
+
+def build_fc_flow(data_size=(1, 28, 28), num_layers=2, kind="inv_conv_no_pad",
+                  activation="Spline", tail_bound=10.0, alpha=1e-6):
+    """FC stack (``exact_fc_mnist.py:24-50``, ``selfnorm_fc_mnist.py``).
+
+    Note the reference's exact_fc_mnist actually stacks 3x3 inv-flow convs
+    on the image (``exact_fc_mnist.py:45``); SelfNormFC variants operate on
+    the flat vector.
+    """
+    layers = build_preprocess(data_size, alpha=alpha)
+    size = tuple(data_size)
+    dim = int(np.prod(size))
+    act = make_activation(activation, tail_bound=tail_bound)
+    for l in range(num_layers):
+        if kind == "snf_fc":
+            layers.append(SelfNormFC(dim, dim, bias=True))
+            if act is not None and (l + 1) < num_layers:
+                layers.append(act((dim,)))
+        else:
+            layers.append(InvFlowNoPad(size[0], (3, 3)))
+            if act is not None and (l + 1) < num_layers:
+                layers.append(act(size))
+    final = (dim,) if kind == "snf_fc" else size
+    return Flow(GaussianPrior(final), layers)

@@ -1,0 +1,88 @@
+"""Typed, complete experiment configuration.
+
+Replaces the reference's shared mutable ``default_config`` dict
+(``inf/train/experiment.py:23-48,79-80`` — module-level dict mutated by
+every Experiment) and its missing-key hazards (``multi_gpu`` at
+``experiment.py:162``, ``grad_clip`` at ``:293``): every knob has a typed
+default here, configs are frozen dataclasses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass
+class ExperimentConfig:
+    # identity / logging -----------------------------------------------
+    name: Optional[str] = None
+    notes: Optional[str] = None
+    wandb: bool = False                 # optional; JSONL metrics always on
+    wandb_project: str = "inverse_flow_tpu"
+    wandb_entity: Optional[str] = None
+    log_timing: bool = True
+    log_interval: int = 100
+    metrics_path: Optional[str] = None  # JSONL; default <name>_metrics.jsonl
+    sample_dir: str = "samples"
+    save_images: bool = True
+
+    # schedule ----------------------------------------------------------
+    epochs: int = 10_000
+    eval_epochs: int = 1
+    eval_train: bool = False
+    max_eval_ex: float = float("inf")
+    sample_epochs: int = 10_000
+    vis_epochs: int = 10_000
+    n_samples: int = 100
+
+    # optimization -------------------------------------------------------
+    lr: float = 1e-3
+    warmup_epochs: int = 2
+    optimizer_name: str = "Adam"        # Adam | Adamax | SGD
+    scheduler_name: str = "None"        # None | StepLR | MultiStepLR |
+                                        # ExponentialLR | CosineAnnealingLR |
+                                        # CosineAnnealingWarmRestarts
+    gamma: float = 1.0                  # decay for Step/MultiStep/Exponential
+    step_size: int = 25                 # StepLR epoch period
+    milestones: Tuple[int, ...] = (2, 4, 50, 80, 240)
+    cosine_t_max: int = 900
+    cosine_t0: int = 30
+    cosine_eta_min: float = 5e-8
+    sgd_momentum: float = 0.95
+    sgd_weight_decay: float = 1e-5
+    batch_size: int = 100
+
+    # gradient handling ----------------------------------------------------
+    grad_clip_norm: Optional[float] = None
+    # The reference's ``grad_clip`` clamps the WEIGHTS, not gradients
+    # (``experiment.py:292-296`` -- ``p.data.clamp_``); kept for parity
+    # under its honest name:
+    weight_clamp: Optional[float] = None
+
+    # flow behavior ---------------------------------------------------------
+    modified_grad: bool = True          # cheap path (modified gradients)
+    add_recon_grad: bool = True
+    sym_recon_grad: bool = False
+    only_R_recon: bool = False
+    recon_loss_weight: float = 1.0
+    recon_loss_lr: float = 0.0          # GECO (selfnorm.py:219-227)
+    recon_alpha: float = 0.9
+    sample_true_inv: bool = False
+    plot_recon: bool = True
+
+    # checkpointing ----------------------------------------------------------
+    checkpoint_path: Optional[str] = None
+
+    # parallelism -----------------------------------------------------------
+    data_parallel: bool = False         # shard batch over all local devices
+
+    # misc --------------------------------------------------------------------
+    seed: int = 0
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self):
+        return dataclasses.asdict(self)

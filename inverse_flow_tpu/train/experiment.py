@@ -1,0 +1,343 @@
+"""The training/eval/sampling harness.
+
+Reference parity: ``inf/train/experiment.py:50-502`` (Experiment) — epoch
+loop with eval cadence and best-val checkpointing, per-batch warmup LR,
+gradient-norm clip, the weight clamp the reference mislabels as "grad_clip"
+(``:292-296``), NaN-loss scrub (``:191``), recon-grad pass, trimmed batch /
+per-sample timing into StatsRecorder (``:259-262,326-331,377-400``),
+bits/dim conversion (``:76-77``), sample/recon image dumps, checkpoint
+save/load.
+
+TPU-native differences:
+  * one jitted, donated train step (forward + backward + recon grads +
+    clip + optimizer) instead of eager per-op dispatch;
+  * timing is host wall-clock around ``block_until_ready`` (the CUDA-event
+    equivalent on TPU);
+  * data parallelism = batch sharding over an ICI mesh inside the same jit
+    (replaces ``nn.DataParallel``); gradients all-reduce implicitly;
+  * ActNorm's data-dependent init is an explicit functional pass on the
+    first batch (under a sharded batch the mean/std reduce globally).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..layers.sequential import Flow
+from ..parallel.mesh import batch_sharding, make_mesh, replicate
+from .checkpoint import load_checkpoint, save_checkpoint
+from .config import ExperimentConfig
+from .metrics import MetricsLogger
+from .optim import make_optimizer
+from .stats import StatsRecorder
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+    # GECO state (selfnorm.py:219-227): moving average of recon loss and
+    # the adapted weight.
+    recon_weight: jnp.ndarray
+    recon_ema: jnp.ndarray
+
+
+class Experiment:
+    def __init__(self, flow: Flow, train_loader, val_loader, test_loader,
+                 config: ExperimentConfig):
+        self.flow = flow
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.test_loader = test_loader
+        self.cfg = config
+
+        self.data_shape = tuple(train_loader.data_shape)
+        dim = int(np.prod(self.data_shape))
+        self.to_bpd = lambda logpx: -logpx / (np.log(2.0) * dim)
+
+        name = (config.name or "run").replace(" ", "_")
+        metrics_path = config.metrics_path or f"./{name}_metrics.jsonl"
+        self.logger = MetricsLogger(
+            metrics_path, use_wandb=config.wandb,
+            wandb_kwargs=dict(name=config.name, notes=config.notes,
+                              project=config.wandb_project,
+                              entity=config.wandb_entity,
+                              config=config.to_dict()))
+        self.checkpoint_path = (config.checkpoint_path
+                                or f"./{name}_checkpoint.pkl")
+
+        self.summary = {"Epoch": 0,
+                        "Best Val LogPx": float("-inf"),
+                        "Test LogPx": float("-inf")}
+        self.batch_time = StatsRecorder()
+        self.sample_time = StatsRecorder()
+
+        # ---------------- mesh / sharding --------------------------------
+        self.mesh = None
+        if config.data_parallel and len(jax.devices()) > 1:
+            self.mesh = make_mesh()
+
+        # ---------------- state ------------------------------------------
+        rng = jax.random.PRNGKey(config.seed)
+        self.rng, init_rng = jax.random.split(rng)
+        params, _ = flow.init(init_rng, self.data_shape)
+        self.tx, self.lr_schedule = make_optimizer(
+            config, steps_per_epoch=max(1, len(train_loader)))
+        self.state = TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+            recon_weight=jnp.asarray(config.recon_loss_weight, jnp.float32),
+            recon_ema=jnp.asarray(0.0, jnp.float32),
+        )
+        self._data_initialized = False
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+    def _build_steps(self):
+        cfg = self.cfg
+        flow = self.flow
+
+        def loss_fn(params, x, rng, recon_weight):
+            # cheap (modified-grad) path unless modified_grad disabled
+            # (experiment.py:160-161: compute_expensive = not modified_grad)
+            _, logpx = flow.forward(params, x, rng=rng,
+                                    exact=not cfg.modified_grad)
+            nll = -logpx
+            nll = jnp.where(jnp.isnan(nll), 0.0, nll)    # NaN scrub (:191)
+            loss = jnp.sum(nll) / x.shape[0]
+            recon = jnp.zeros((), jnp.float32)
+            if cfg.add_recon_grad and any(
+                    l.has_recon_loss for l in flow.layers):
+                rvec = flow.recon_loss(params, x, rng=rng,
+                                       sym=cfg.sym_recon_grad,
+                                       only_R=cfg.only_R_recon)
+                rvec = jnp.where(jnp.isnan(rvec), 0.0, rvec)
+                recon = jnp.mean(rvec)
+            total = loss + recon_weight * recon
+            return total, (loss, recon)
+
+        def train_step(state: TrainState, x, rng):
+            (_, (loss, recon)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, x, rng,
+                                       state.recon_weight)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params)
+            params = jax.tree_util.tree_map(
+                lambda p, u: p + u, state.params, updates)
+            if cfg.weight_clamp:
+                # reference "grad_clip": clamp weights (experiment.py:292-296)
+                params = jax.tree_util.tree_map(
+                    lambda p: jnp.clip(p, -cfg.weight_clamp,
+                                       cfg.weight_clamp), params)
+            # GECO weight adaptation (selfnorm.py:219-227)
+            recon_weight, recon_ema = state.recon_weight, state.recon_ema
+            if cfg.recon_loss_lr > 0.0:
+                is_first = state.step == 0
+                recon_ema = jnp.where(
+                    is_first, recon,
+                    cfg.recon_alpha * recon_ema
+                    + (1 - cfg.recon_alpha) * recon)
+                c_t = recon_ema            # recon + (ema - recon), detached
+                recon_weight = recon_weight * jnp.exp(cfg.recon_loss_lr * c_t)
+            return TrainState(params, opt_state, state.step + 1,
+                              recon_weight, recon_ema), loss, recon
+
+        def eval_logpx_sum(params, x, rng):
+            # eval uses the exact-logdet path (flowsequential.py:45 —
+            # compute_expensive defaults True in log_prob)
+            logpx = flow.log_prob(params, x, rng=rng, exact=True)
+            return jnp.sum(logpx)
+
+        donate = (0,)
+        if self.mesh is not None:
+            x_shard = batch_sharding(self.mesh, 1 + len(self.data_shape))
+            self._train_step = jax.jit(train_step, donate_argnums=donate,
+                                       in_shardings=(None, x_shard, None))
+            self._eval_logpx = jax.jit(
+                eval_logpx_sum, in_shardings=(None, x_shard, None))
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=donate)
+            self._eval_logpx = jax.jit(eval_logpx_sum)
+        self._sample = jax.jit(
+            lambda params, rng, exact: flow.sample(
+                params, rng, cfg.n_samples, exact=exact),
+            static_argnums=(2,))
+        self._sample_one = jax.jit(
+            lambda params, rng: flow.sample(params, rng, 1))
+        self._reconstruct = jax.jit(
+            lambda params, x, rng: flow.reconstruct(params, x, rng=rng))
+
+    # ------------------------------------------------------------------
+    def _next_rng(self):
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    def _prep_batch(self, x):
+        x = jnp.asarray(x, jnp.float32)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+            x = shard_batch(x, self.mesh)
+        return x
+
+    def maybe_data_init(self, x):
+        if self._data_initialized:
+            return
+        params = self.flow.data_init(self.state.params,
+                                     self._prep_batch(x),
+                                     rng=self._next_rng())
+        self.state = self.state._replace(
+            params=params, opt_state=self.tx.init(params))
+        self._data_initialized = True
+
+    # ------------------------------------------------------------------
+    def run(self):
+        cfg = self.cfg
+        for e in range(self.summary["Epoch"] + 1, cfg.epochs + 1):
+            self.summary["Epoch"] = e
+            avg_loss = self.train_epoch(e)
+            self.logger.log("Train Avg Loss", avg_loss)
+
+            if e % cfg.eval_epochs == 0:
+                if cfg.eval_train:
+                    tr = self.eval_epoch(self.train_loader)
+                    self.logger.log("Train LogPx", tr)
+                    self.logger.log("Train BPD", self.to_bpd(tr))
+                val = self.eval_epoch(self.val_loader)
+                self.logger.log("Val LogPx", val)
+                self.logger.log("Val BPD", self.to_bpd(val))
+                if val > self.summary["Best Val LogPx"]:
+                    self.summary["Best Val LogPx"] = val
+                    self.summary["Best Val BPD"] = self.to_bpd(val)
+                    test = self.eval_epoch(self.test_loader)
+                    self.logger.log("Test LogPx", test)
+                    self.logger.log("Test BPD", self.to_bpd(test))
+                    self.summary["Test LogPx"] = test
+                    self.summary["Test BPD"] = self.to_bpd(test)
+                    self.save()
+
+            if e < 5 or e == 10 or e % cfg.sample_epochs == 0:
+                self.sample(e)
+        return self.summary
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch):
+        cfg = self.cfg
+        total_loss, num_batches = 0.0, 0
+        durations = []
+        last_x = None
+        for x in self.train_loader:
+            self.maybe_data_init(x)
+            xb = self._prep_batch(x)
+            last_x = xb
+            t0 = time.perf_counter()
+            self.state, loss, recon = self._train_step(
+                self.state, xb, self._next_rng())
+            if cfg.log_timing:
+                jax.block_until_ready(loss)
+                durations.append((time.perf_counter() - t0) * 1e3)
+            total_loss += float(loss)
+            num_batches += 1
+            if num_batches % cfg.log_interval == 0:
+                self.logger.log("Train Batch Loss", float(loss),
+                                step=int(self.state.step))
+                if cfg.add_recon_grad:
+                    self.logger.log("Train Total Recon Loss", float(recon))
+
+        if cfg.log_timing and len(durations) > 200:
+            # drop first/last 100 batches (experiment.py:326-331)
+            self.batch_time.update(durations[100:-100])
+            self.logger.summary("Batch Time Mean", self.batch_time.mean)
+            self.logger.summary("Batch Time Std", self.batch_time.std)
+        elif cfg.log_timing and durations:
+            self.batch_time.update(durations[1:] if len(durations) > 1
+                                   else durations)
+            self.logger.summary("Batch Time Mean", self.batch_time.mean)
+            self.logger.summary("Batch Time Std", self.batch_time.std)
+
+        if cfg.plot_recon and last_x is not None:
+            self.plot_recon(last_x, epoch)
+        return total_loss / max(1, num_batches)
+
+    def eval_epoch(self, loader):
+        total, num = 0.0, 0
+        for x in loader:
+            self.maybe_data_init(x)
+            xb = self._prep_batch(x)
+            total += float(self._eval_logpx(self.state.params, xb,
+                                            self._next_rng()))
+            num += x.shape[0]
+            if num >= self.cfg.max_eval_ex:
+                break
+        return total / max(1, num)
+
+    # ------------------------------------------------------------------
+    def sample(self, epoch):
+        cfg = self.cfg
+        exact = not cfg.modified_grad
+        if cfg.log_timing:
+            n = max(5, min(cfg.n_samples, 100))
+            durations = []
+            out = self._sample_one(self.state.params, self._next_rng())
+            jax.block_until_ready(out)   # exclude compile
+            for _ in range(n):
+                t0 = time.perf_counter()
+                out = self._sample_one(self.state.params, self._next_rng())
+                jax.block_until_ready(out)
+                durations.append((time.perf_counter() - t0) * 1e3)
+            # 20% head/tail trim (experiment.py:398)
+            self.sample_time.update(sorted(durations)[n // 5: -(n // 5)])
+            self.logger.summary("Sample Time Mean", self.sample_time.mean)
+            self.logger.summary("Sample Time Std", self.sample_time.std)
+
+        x = self._sample(self.state.params, self._next_rng(), False)
+        self._save_image_grid(x, f"{epoch}.png")
+        if cfg.sample_true_inv:
+            x_true = self._sample(self.state.params, self._next_rng(), True)
+            self._save_image_grid(x_true, f"{epoch}_trueinv.png")
+        return x
+
+    def plot_recon(self, x, epoch):
+        xhat = self._reconstruct(self.state.params, x, self._next_rng())
+        self._save_image_grid(x, f"{epoch}_x.png")
+        self._save_image_grid(xhat, f"{epoch}_xrecon.png")
+        self._save_image_grid(jnp.abs(x - xhat), f"{epoch}_recon_diff.png")
+        return xhat
+
+    def _save_image_grid(self, x, fname, nrow=10):
+        """PNG grid like torchvision.utils.save_image (values in [0,256))."""
+        if not self.cfg.save_images:
+            return
+        try:
+            from ..utils.imaging import save_image_grid
+            os.makedirs(self.cfg.sample_dir, exist_ok=True)
+            save_image_grid(np.asarray(jax.device_get(x)) / 256.0,
+                            os.path.join(self.cfg.sample_dir, fname),
+                            nrow=nrow)
+        except Exception as e:  # imaging must never kill training
+            self.logger.log("Warning", f"image save failed: {e}")
+
+    # ------------------------------------------------------------------
+    def save(self):
+        self.logger.log(
+            "Note", f"Saving checkpoint to: {self.checkpoint_path}")
+        save_checkpoint(self.checkpoint_path, self.state, self.summary,
+                        self.cfg.to_dict())
+
+    def load(self, path=None):
+        path = path or self.checkpoint_path
+        self.logger.log("Note", f"Loading checkpoint from: {path}")
+        state, summary = load_checkpoint(path, self.cfg.to_dict(),
+                                         log=lambda m: self.logger.log(
+                                             "Warning", m))
+        # rebuild as TrainState with on-device arrays
+        self.state = TrainState(*jax.tree_util.tree_map(jnp.asarray,
+                                                        tuple(state)))
+        self.summary = dict(summary)
+        self._data_initialized = True
