@@ -33,3 +33,7 @@ from .convexp import ConvExp
 
 __all__ += ["SelfNormConv", "SelfNormFC", "Emerging",
             "SquareAutoRegressiveConv2d", "Flip2d", "ConvExp"]
+
+from .repeated import RepeatedBlock
+
+__all__ += ["RepeatedBlock"]

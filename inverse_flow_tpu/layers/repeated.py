@@ -1,0 +1,141 @@
+"""Scan-over-depth: K identical flow steps as ONE traced step.
+
+TPU-native optimization with no reference equivalent: the reference's
+``FlowSequential`` python loop traces (and the CUDA path launches) every
+layer separately; a Glow block is K repetitions of an identical step
+(actnorm -> invertible conv -> activation -> coupling,
+``if_glow_mnist.py:60-129``), so here the K steps become a single
+``lax.scan`` over stacked parameters. Compile time and HLO size drop from
+O(K) to O(1) per block; the math is unchanged.
+
+Constraints: every sublayer must preserve the activation shape and be
+rng-free (no dequantization / split-prior inside a block — true for all
+reference block bodies).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .base import FlowLayer, zeros_ldj
+
+
+@dataclass(frozen=True)
+class RepeatedBlock(FlowLayer):
+    step_layers: Tuple[FlowLayer, ...]
+    n_repeats: int
+
+    def init(self, rng, shape):
+        per_repeat = []
+        for k in range(self.n_repeats):
+            step_params = []
+            s = shape
+            for layer in self.step_layers:
+                rng, sub = jax.random.split(rng)
+                p, s = layer.init(sub, s)
+                step_params.append(p)
+            assert tuple(s) == tuple(shape), (
+                "RepeatedBlock sublayers must preserve shape "
+                f"({shape} -> {s})")
+            per_repeat.append(step_params)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *per_repeat)
+        return {"steps": stacked}, shape
+
+    # ------------------------------------------------------------------
+    def _step_forward(self, step_params, x, exact=False):
+        ldj = zeros_ldj(x)
+        for layer, p in zip(self.step_layers, step_params):
+            if exact and layer.has_modified_grad:
+                x, l = layer.exact_forward(p, x)
+            else:
+                x, l = layer.forward(p, x)
+            ldj = ldj + l
+        return x, ldj
+
+    def _step_inverse(self, step_params, z, exact=False):
+        for layer, p in zip(reversed(self.step_layers),
+                            reversed(step_params)):
+            if exact and layer.has_modified_grad:
+                z = layer.exact_inverse(p, z)
+            else:
+                z = layer.inverse(p, z)
+        return z
+
+    def forward(self, params, x, rng=None):
+        def body(carry, step_params):
+            x, ldj = carry
+            x, l = self._step_forward(step_params, x)
+            return (x, ldj + l), None
+
+        (x, ldj), _ = lax.scan(body, (x, zeros_ldj(x)), params["steps"])
+        return x, ldj
+
+    def inverse(self, params, z, rng=None):
+        def body(carry, step_params):
+            return self._step_inverse(step_params, carry), None
+
+        z, _ = lax.scan(body, z, params["steps"], reverse=True)
+        return z
+
+    def exact_forward(self, params, x):
+        def body(carry, step_params):
+            x, ldj = carry
+            x, l = self._step_forward(step_params, x, exact=True)
+            return (x, ldj + l), None
+
+        (x, ldj), _ = lax.scan(body, (x, zeros_ldj(x)), params["steps"])
+        return x, ldj
+
+    def exact_inverse(self, params, z):
+        def body(carry, step_params):
+            return self._step_inverse(step_params, carry, exact=True), None
+
+        z, _ = lax.scan(body, z, params["steps"], reverse=True)
+        return z
+
+    # ------------------------------------------------------------------
+    def data_init(self, params, x):
+        """Sequential data-dependent init (ActNorm) across the K repeats."""
+        if not any(type(l).data_init is not FlowLayer.data_init
+                   for l in self.step_layers):
+            return params
+        stacked = params["steps"]
+        for k in range(self.n_repeats):
+            step_params = jax.tree_util.tree_map(lambda s: s[k], stacked)
+            new_step = []
+            for layer, p in zip(self.step_layers, step_params):
+                p = layer.data_init(p, x)
+                new_step.append(p)
+                x, _ = layer.forward(p, x)
+            stacked = jax.tree_util.tree_map(
+                lambda s, n: s.at[k].set(n), stacked, new_step)
+        return {"steps": stacked}
+
+    def recon_loss(self, params, x, sym=False, only_R=False):
+        if not any(l.has_recon_loss for l in self.step_layers):
+            return jnp.zeros((x.shape[0],), jnp.float32)
+
+        def body(carry, step_params):
+            x, total = carry
+            x = jax.lax.stop_gradient(x)
+            for layer, p in zip(self.step_layers, step_params):
+                if layer.has_recon_loss:
+                    total = total + layer.recon_loss(p, x, sym=sym,
+                                                     only_R=only_R)
+                x, _ = layer.forward(p, x)
+            return (x, total), None
+
+        (_, total), _ = lax.scan(
+            body, (x, jnp.zeros((x.shape[0],), jnp.float32)),
+            params["steps"])
+        return total
+
+    @property
+    def has_recon_loss(self):
+        return any(l.has_recon_loss for l in self.step_layers)

@@ -74,23 +74,40 @@ def _step_layer(kind: str, c: int, size, **kw):
 def build_glow(data_size=(1, 28, 28), step_kind="inv_conv_no_pad",
                num_blocks=2, block_size=16, coupling_width=512,
                actnorm=True, split_prior=True, activation="Spline",
-               n_bins=5, tail_bound=20.0, if_kernel_size=3, alpha=1e-7):
-    """Glow stack (``if_glow_mnist.py:33-132``)."""
+               n_bins=5, tail_bound=20.0, if_kernel_size=3, alpha=1e-7,
+               scan_blocks=True):
+    """Glow stack (``if_glow_mnist.py:33-132``).
+
+    ``scan_blocks=True`` folds the K identical steps of each block into a
+    single ``lax.scan`` over stacked params (see layers/repeated.py) —
+    same math, O(1) instead of O(K) trace/compile cost.
+    """
+    from ..layers import RepeatedBlock
+
     act = make_activation(activation, n_bins=n_bins, tail_bound=tail_bound)
     layers = build_preprocess(data_size, alpha=alpha)
     size = tuple(data_size)
     for l in range(num_blocks):
         layers.append(Squeeze())
         size = (size[0] * 4, size[1] // 2, size[2] // 2)
-        for k in range(block_size):
+
+        def make_step():
+            step = []
             if actnorm:
-                layers.append(ActNorm(size[0]))
-            layers.append(_step_layer(step_kind, size[0], size,
-                                      kernel=(if_kernel_size,
-                                              if_kernel_size)))
+                step.append(ActNorm(size[0]))
+            step.append(_step_layer(step_kind, size[0], size,
+                                    kernel=(if_kernel_size,
+                                            if_kernel_size)))
             if act is not None:
-                layers.append(act(size))
-            layers.append(Coupling(size, width=coupling_width))
+                step.append(act(size))
+            step.append(Coupling(size, width=coupling_width))
+            return step
+
+        if scan_blocks:
+            layers.append(RepeatedBlock(tuple(make_step()), block_size))
+        else:
+            for k in range(block_size):
+                layers.extend(make_step())
         if split_prior and l < num_blocks - 1:
             layers.append(SplitPrior(size, width=coupling_width))
             size = (size[0] // 2, size[1], size[2])

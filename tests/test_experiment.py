@@ -93,3 +93,41 @@ def test_sampling_shapes(tmp_path):
     x = exp.sample(1)
     assert x.shape == (2, 1, 8, 8)
     assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_repeated_block_matches_unrolled():
+    """scan-over-depth must be bit-compatible with the unrolled build."""
+    from inverse_flow_tpu.models.glow import build_glow
+    flow_s = build_glow((1, 8, 8), step_kind="inv_conv_no_pad", num_blocks=1,
+                        block_size=3, coupling_width=8, actnorm=True,
+                        split_prior=False, activation="SLR",
+                        scan_blocks=True)
+    flow_u = build_glow((1, 8, 8), step_kind="inv_conv_no_pad", num_blocks=1,
+                        block_size=3, coupling_width=8, actnorm=True,
+                        split_prior=False, activation="SLR",
+                        scan_blocks=False)
+    rng = jax.random.PRNGKey(0)
+    ps, _ = flow_s.init(rng, (1, 8, 8))
+    x = jnp.asarray(np.random.RandomState(0).randint(
+        0, 256, (4, 1, 8, 8)), jnp.float32)
+    ps = flow_s.data_init(ps, x, rng=rng)
+
+    # copy scanned params into the unrolled layout
+    pu, _ = flow_u.init(rng, (1, 8, 8))
+    stacked = ps[5]["steps"]    # 4 preprocess + squeeze, then the block
+    n_sub = len(flow_s.layers[5].step_layers)
+    for k in range(3):
+        for j in range(n_sub):
+            pu[5 + k * n_sub + j] = jax.tree_util.tree_map(
+                lambda s: s[k], stacked[j])
+
+    z_s, lp_s = flow_s.forward(ps, x, rng=rng)
+    z_u, lp_u = flow_u.forward(pu, x, rng=rng)
+    np.testing.assert_allclose(np.asarray(z_s), np.asarray(z_u),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(lp_s), np.asarray(lp_u),
+                               atol=1e-3, rtol=1e-5)
+    # inverse consistency
+    x_s = flow_s.reconstruct(ps, x, rng=rng)
+    np.testing.assert_allclose(np.asarray(x_s), np.asarray(x),
+                               atol=1e-3)
