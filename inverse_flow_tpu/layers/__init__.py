@@ -9,6 +9,7 @@ from .coupling import Coupling
 from .splitprior import SplitPrior, SplitPriorFC
 from .activations import (FlowActivationLayer, SmoothLeakyRelu, LeakyRelu,
                           LearnableLeakyRelu, SmoothTanh, SplineActivation,
+                          BSplineActivation, ConditionalBSplineTransformer,
                           Identity)
 
 __all__ = [
@@ -18,7 +19,8 @@ __all__ = [
     "Conv1x1", "Conv1x1Householder", "Coupling",
     "SplitPrior", "SplitPriorFC",
     "FlowActivationLayer", "SmoothLeakyRelu", "LeakyRelu",
-    "LearnableLeakyRelu", "SmoothTanh", "SplineActivation", "Identity",
+    "LearnableLeakyRelu", "SmoothTanh", "SplineActivation",
+    "BSplineActivation", "ConditionalBSplineTransformer", "Identity",
 ]
 
 from .inv_flow import InvFlow, InvFlowNoPad, InvFlowUnit
@@ -37,3 +39,7 @@ __all__ += ["SelfNormConv", "SelfNormFC", "Emerging",
 from .repeated import RepeatedBlock
 
 __all__ += ["RepeatedBlock"]
+
+from .gaussianize import Gaussianize, GaussianizeSplit
+
+__all__ += ["Gaussianize", "GaussianizeSplit"]

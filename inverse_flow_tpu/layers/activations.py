@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 
 from .base import FlowLayer, sum_except_batch
-from .splines import unconstrained_rational_quadratic_spline
+from .splines import (monotone_cubic_b_spline,
+                      unconstrained_rational_quadratic_spline)
 
 
 class FlowActivationLayer(FlowLayer):
@@ -173,6 +174,51 @@ class SplineActivation(FlowLayer):
         out, _ = unconstrained_rational_quadratic_spline(
             z, w, h, d, inverse=True, tail_bound=self.tail_bound)
         return out
+
+
+@dataclass(frozen=True)
+class BSplineActivation(FlowLayer):
+    """Elementwise monotone cubic B-spline activation (the reference's
+    ``BSpline`` option: ``ConditionalBSplineTransformer`` used as an
+    activation, ``experiments/if_glow_mnist.py:25,44`` /
+    ``splines/bspline.py:20-190``; linear-interp variant
+    ``BSplineActivation.py:6-57``).
+
+    [-tail_bound, tail_bound] is affinely mapped to [0, 1], transformed by
+    a learned monotone cubic B-spline bijection (endpoints fixed, so the
+    map is continuous at the boundary), and mapped back; identity with
+    ldj 0 outside. The affine rescale factors cancel in the Jacobian."""
+
+    n_bins: int = 8
+    tail_bound: float = 10.0
+
+    def init(self, rng, shape):
+        c = 0.01 * jax.random.normal(rng, (self.n_bins + 3,), jnp.float32)
+        return {"coeffs": c}, shape
+
+    def _transform(self, params, x, inverse):
+        b = self.tail_bound
+        inside = jnp.logical_and(x > -b, x < b)
+        u = jnp.clip((x + b) / (2 * b), 0.0, 1.0)
+        out, ld = monotone_cubic_b_spline(u, params["coeffs"],
+                                          inverse=inverse)
+        y = jnp.where(inside, out * 2 * b - b, x)
+        ld = jnp.where(inside, ld, 0.0)
+        return y, sum_except_batch(ld)
+
+    def forward(self, params, x, rng=None):
+        return self._transform(params, x, inverse=False)
+
+    def inverse(self, params, z, rng=None):
+        return self._transform(params, z, inverse=True)[0]
+
+    def logdet(self, params, x):
+        return self._transform(params, x, inverse=False)[1]
+
+
+# ``ConditionalBSplineTransformer(size)`` in the reference experiments is
+# exactly this elementwise learned-spline use (``if_glow_mnist.py:44``).
+ConditionalBSplineTransformer = BSplineActivation
 
 
 @dataclass(frozen=True)

@@ -17,7 +17,8 @@ import numpy as np
 from ..distributions import GaussianPrior, UniformDistribution
 from ..layers import (ActNorm, Conv1x1, ConvExp, Coupling, Dequantization,
                       Emerging, FincFlowUnit, Flow, Identity, InvFlow,
-                      InvFlowNoPad, InvFlowUnit, LogitTransform,
+                      BSplineActivation, InvFlowNoPad, InvFlowUnit,
+                      LogitTransform,
                       Normalization, SelfNormConv, SelfNormFC,
                       SmoothLeakyRelu, SplineActivation, SplitPrior, Squeeze)
 
@@ -32,6 +33,9 @@ def make_activation(name: str, n_bins=5, tail_bound=20.0):
         return lambda size: SplineActivation(tuple(size), n_bins=n_bins,
                                              tail_bound=tail_bound,
                                              individual_weights=True)
+    if name == "BSpline":
+        return lambda size: BSplineActivation(n_bins=8,
+                                              tail_bound=tail_bound)
     if name == "Identity":
         return lambda size: Identity()
     raise ValueError(f"unknown activation: {name}")

@@ -57,12 +57,34 @@ kernels' hard-coded 4-way channel grouping (``order_stride = C/4``,
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 _HI = lax.Precision.HIGHEST
+
+# Implementation selector for the sequential block scan:
+#   'auto'   — Pallas on TPU backends, XLA scan elsewhere
+#   'xla'    — lax.scan / unrolled python loop
+#   'pallas' — fused VMEM-resident Pallas kernel
+_IMPL = os.environ.get("IFT_INV_CONV_IMPL", "auto")
+
+
+def set_impl(name: str):
+    """Select the block-scan implementation ('auto' | 'xla' | 'pallas')."""
+    global _IMPL
+    assert name in ("auto", "xla", "pallas"), name
+    _IMPL = name
+
+
+def _pallas_ok() -> bool:
+    if _IMPL == "pallas":
+        return True
+    if _IMPL == "xla":
+        return False
+    return jax.default_backend() in ("tpu", "axon")
 
 
 # ---------------------------------------------------------------------------
@@ -145,45 +167,184 @@ def _row_matrices(w_eff, width: int):
 
 
 # ---------------------------------------------------------------------------
-# The solve (training direction): y = T^{-1} x
+# Block-row matrices: R rows of the banded operator at a time
 # ---------------------------------------------------------------------------
 
-def _solve_ungrouped(x, w_eff):
+def _choose_block_rows(h: int, cw: int, kh: int) -> int:
+    """Rows per block: targets ~384-wide MXU operands, caps the O((R*CW)^3)
+    per-call triangular inversion, and keeps R >= KH-1 so inter-block
+    dependence reaches back exactly one block."""
+    r = max(kh - 1, 1, min(h, -(-384 // cw)))
+    while r > max(kh - 1, 1) and r * cw > 1024:
+        r -= 1
+    return min(r, h)
+
+
+def _tri_block(mats, r_rows: int):
+    """Dense (R*CW, R*CW) unit-lower-triangular within-block operator:
+    block (i, j) = mats[i - j] for 0 <= i - j <= KH-1."""
+    kh, cw = mats.shape[0], mats.shape[1]
+    ii = lax.broadcasted_iota(jnp.int32, (r_rows, r_rows), 0)
+    jj = lax.broadcasted_iota(jnp.int32, (r_rows, r_rows), 1)
+    q = ii - jj
+    valid = jnp.logical_and(q >= 0, q <= kh - 1)
+    gathered = mats[jnp.clip(q, 0, kh - 1)]                   # (R, R, CW, CW)
+    gathered = jnp.where(valid[:, :, None, None], gathered, 0.0)
+    t = jnp.transpose(gathered, (0, 2, 1, 3))
+    return t.reshape(r_rows * cw, r_rows * cw)
+
+
+def _prev_block(mats, r_rows: int):
+    """(R*CW, (KH-1)*CW) map from the previous block's last KH-1 rows
+    (tail[t] = y at block row R-(KH-1)+t) into this block's rows:
+    entry (i, t) = mats[i + KH-1 - t] when 1 <= i+KH-1-t <= KH-1."""
+    kh, cw = mats.shape[0], mats.shape[1]
+    ii = lax.broadcasted_iota(jnp.int32, (r_rows, kh - 1), 0)
+    tt = lax.broadcasted_iota(jnp.int32, (r_rows, kh - 1), 1)
+    q = ii + (kh - 1) - tt
+    valid = jnp.logical_and(q >= 1, q <= kh - 1)
+    gathered = mats[jnp.clip(q, 0, kh - 1)]                   # (R, KH-1, CW, CW)
+    gathered = jnp.where(valid[:, :, None, None], gathered, 0.0)
+    p = jnp.transpose(gathered, (0, 2, 1, 3))
+    return p.reshape(r_rows * cw, (kh - 1) * cw)
+
+
+# ---------------------------------------------------------------------------
+# The solve (training direction): y = T^{-1} x
+# ---------------------------------------------------------------------------
+#
+# Row-blocked: partition the H rows into blocks of R. Within a block the
+# operator is the dense unit-lower-triangular T_blk; dependence on earlier
+# rows reaches back exactly the previous block's last KH-1 rows (R >= KH-1):
+#
+#   T_blk y_b = x_b - P tail_{b-1}
+#   y_b = c_b - G tail_{b-1},   c = x @ T_blk^{-T}  (ALL blocks, one matmul)
+#                               G = T_blk^{-1} P    (folded once per call)
+#
+# Sequential depth drops from H (reference: (H+W-1)*C/4 synced launches) to
+# ceil(H/R); every step is ONE (B, (KH-1)CW) @ ((KH-1)CW, RCW) MXU matmul.
+# The remaining scan runs either as an unrolled XLA loop or fused in a
+# single Pallas kernel with the running tail held in VMEM (_scan_blocks_*).
+
+def _solve_ungrouped(x, w_eff, r_rows=None):
     b, c, h, width = x.shape
     kh = w_eff.shape[2]
     cw = c * width
 
     mats = _row_matrices(w_eff, width)                        # (KH, CW, CW)
-    m0_inv = jnp.linalg.inv(mats[0])                          # (CW, CW)
-
     # rows flattened (w, c): (B, H, W, C) -> (B, H, CW)
     x_rows = jnp.transpose(x, (0, 2, 3, 1)).reshape(b, h, cw)
 
-    # c = M0^{-1} x for ALL rows at once: one big MXU matmul.
-    c_rows = jnp.einsum("bhi,ji->bhj", x_rows, m0_inv, precision=_HI)
-
+    # NOTE: diagonal blocks are unit-LOWER-triangular for canonically masked
+    # kernels, but unit-UPPER for the channel-transposed kernel used by the
+    # VJP's dx solve — so invert with a general LU (tiny: <= (1024)^2).
     if kh == 1:
-        y_rows = c_rows
+        # no inter-row dependence: one inverse applied to all rows at once.
+        m0_inv = jnp.linalg.inv(mats[0])
+        y_rows = jnp.einsum("bhi,ji->bhj", x_rows, m0_inv, precision=_HI)
     else:
-        # A_big: ((KH-1)*CW, CW), ordered r=1..KH-1.
-        a_fold = jnp.einsum("ji,rik->rjk", m0_inv, mats[1:], precision=_HI)
-        a_big = jnp.transpose(a_fold, (0, 2, 1)).reshape((kh - 1) * cw, cw)
+        r = int(r_rows) if r_rows else _choose_block_rows(h, cw, kh)
+        nb = -(-h // r)
+        rcw, kcw = r * cw, (kh - 1) * cw
 
-        def step(hist, c_h):
-            # hist: (B, KH-1, CW), hist[:, r-1] = y_{h-r}
-            contrib = jnp.einsum("bk,kj->bj",
-                                 hist.reshape(b, (kh - 1) * cw), a_big,
-                                 precision=_HI)
-            y_h = c_h - contrib
-            hist = jnp.concatenate([y_h[:, None], hist[:, :-1]], axis=1)
-            return hist, y_h
+        t_inv = jnp.linalg.inv(_tri_block(mats, r))
+        g = t_inv @ _prev_block(mats, r) if nb > 1 else None
 
-        hist0 = jnp.zeros((b, kh - 1, cw), x.dtype)
-        _, y_rows = lax.scan(step, hist0, jnp.transpose(c_rows, (1, 0, 2)))
-        y_rows = jnp.transpose(y_rows, (1, 0, 2))             # (B, H, CW)
+        xp = jnp.pad(x_rows, ((0, 0), (0, nb * r - h), (0, 0)))
+        xb = xp.reshape(b, nb, rcw)
+        c_all = jnp.einsum("bni,ji->bnj", xb, t_inv, precision=_HI)
+
+        if nb == 1:
+            y_blocks = c_all
+        elif _pallas_ok() and _pallas_batch_tile(b, nb, rcw, kcw):
+            y_blocks = _scan_blocks_pallas(c_all, g, kcw)
+        else:
+            y_blocks = _scan_blocks_xla(c_all, g, kcw)
+
+        y_rows = y_blocks.reshape(b, nb * r, cw)[:, :h]
 
     y = y_rows.reshape(b, h, width, c)
     return jnp.transpose(y, (0, 3, 1, 2))
+
+
+def _scan_blocks_xla(c_all, g, kcw: int):
+    """y_n = c_n - tail @ G^T, tail = last KH-1 rows of y_n. Unrolled for
+    short chains; lax.scan for long ones (timescaling sweeps)."""
+    b, nb, rcw = c_all.shape
+
+    def step(tail, c_n):
+        y_n = c_n - jnp.einsum("bk,jk->bj", tail, g, precision=_HI)
+        return y_n[:, rcw - kcw:], y_n
+
+    tail0 = jnp.zeros((b, kcw), c_all.dtype)
+    if nb <= 16:
+        ys, tail = [], tail0
+        for n in range(nb):
+            tail, y_n = step(tail, c_all[:, n])
+            ys.append(y_n)
+        return jnp.stack(ys, axis=1)
+    _, y = lax.scan(step, tail0, jnp.transpose(c_all, (1, 0, 2)))
+    return jnp.transpose(y, (1, 0, 2))
+
+
+def _pallas_batch_tile(b: int, nb: int, rcw: int, kcw: int):
+    """Largest batch tile that fits VMEM, or None if even the minimum tile
+    would exceed it. Accounts for Pallas double-buffering the in/out
+    blocks: live VMEM ~= 2 buffers x (in + out) tile + G + tail."""
+    budget = 10 * 1024 * 1024 // 4 - rcw * kcw                # floats
+    bt = budget // max(1, 4 * nb * rcw + kcw)
+    if bt < 8:
+        return None
+    if b <= 8:
+        return b
+    return (min(b, bt) // 8) * 8
+
+
+def _scan_blocks_pallas(c_all, g, kcw: int, interpret: bool = False):
+    """The block scan as ONE Pallas kernel: grid over batch tiles, the
+    whole recurrence VMEM-resident (G + running tail + this tile's rows).
+    One kernel owns the full sequential chain — the opposite of the
+    reference's per-diagonal launch+sync pattern
+    (``inv_conv_with_bp_kernel_general.cu:97-126``)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, nb, rcw = c_all.shape
+    c_t = jnp.transpose(c_all, (1, 0, 2))                     # (NB, B, RCW)
+    bt = _pallas_batch_tile(b, nb, rcw, kcw)
+    assert bt, "caller must gate on _pallas_batch_tile"
+
+    def kernel(c_ref, g_ref, y_ref, hist):
+        hist[:] = jnp.zeros_like(hist)
+
+        def body(n, carry):
+            contrib = lax.dot_general(
+                hist[:], g_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y_n = c_ref[n] - contrib
+            y_ref[n] = y_n
+            hist[:] = y_n[:, rcw - kcw:]
+            return carry
+
+        lax.fori_loop(0, nb, body, 0)
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(b, bt),),
+        in_specs=[
+            pl.BlockSpec((nb, bt, rcw), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rcw, kcw), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nb, bt, rcw), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, b, rcw), c_all.dtype),
+        scratch_shapes=[pltpu.VMEM((bt, kcw), jnp.float32)],
+        interpret=interpret,
+    )(c_t, g)
+    return jnp.transpose(y, (1, 0, 2))
 
 
 def _solve(x, w_eff, groups: int = 1):

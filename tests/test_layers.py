@@ -225,3 +225,67 @@ def test_fincflow_unit():
     layer, params, x, _ = _make(FincFlowUnit(IMG_SHAPE[0], (3, 3)), seed=16)
     check_inverse(layer, params, x, atol=2e-3)
     check_logdet(layer, params, x, atol=1e-3)
+
+
+def test_bspline_activation():
+    from inverse_flow_tpu.layers import BSplineActivation
+    layer = BSplineActivation(n_bins=8, tail_bound=4.0)
+    params, _ = layer.init(jax.random.PRNGKey(11), (3, 6, 6))
+    x = jax.random.normal(jax.random.PRNGKey(12), (4, 3, 6, 6))
+    check_inverse(layer, params, x, atol=2e-3)
+    check_logdet(layer, params, x)
+
+
+def test_bspline_monotone_and_endpoint_fixed():
+    from inverse_flow_tpu.layers.splines import monotone_cubic_b_spline
+    c = jax.random.normal(jax.random.PRNGKey(13), (11,))
+    xs = jnp.linspace(0.0, 1.0, 101)
+    ys, ld = monotone_cubic_b_spline(xs, c)
+    assert np.all(np.diff(np.asarray(ys)) > 0)
+    np.testing.assert_allclose(float(ys[0]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(float(ys[-1]), 1.0, atol=1e-6)
+    # logdet integrates the derivative: finite-diff agreement
+    fd = np.gradient(np.asarray(ys), np.asarray(xs))
+    np.testing.assert_allclose(np.exp(np.asarray(ld[1:-1])), fd[1:-1],
+                               rtol=5e-2)
+
+
+def test_gaussianize_roundtrip_and_logdet():
+    from inverse_flow_tpu.layers import Gaussianize
+    layer = Gaussianize(2)
+    params, _ = layer.init(jax.random.PRNGKey(20), (4, 6, 6))
+    # non-trivial conv params (zero-init is the identity)
+    params = jax.tree_util.tree_map(
+        lambda p: 0.1 * jax.random.normal(jax.random.PRNGKey(21), p.shape),
+        params)
+    x = jax.random.normal(jax.random.PRNGKey(22), (3, 4, 6, 6))
+    check_inverse(layer, params, x)
+    check_logdet(layer, params, x)
+
+
+def test_gaussianize_split_and_fastflow():
+    from inverse_flow_tpu.layers import GaussianizeSplit
+    layer = GaussianizeSplit((4, 6, 6))
+    params, out_shape = layer.init(jax.random.PRNGKey(23), (4, 6, 6))
+    assert out_shape == (2, 6, 6)
+    x = jax.random.normal(jax.random.PRNGKey(24), (3, 4, 6, 6))
+    x1, ldj = layer.forward(params, x)
+    assert x1.shape == (3, 2, 6, 6) and ldj.shape == (3,)
+    # zero-init => z2 = x2 exactly, ldj = log N(0,1)(x2)
+    from inverse_flow_tpu.distributions import GaussianPrior
+    np.testing.assert_allclose(
+        np.asarray(ldj), np.asarray(GaussianPrior((2, 6, 6)).log_prob(x[:, 2:])),
+        rtol=1e-5)
+    rec = layer.inverse(params, x1, rng=jax.random.PRNGKey(25))
+    assert rec.shape == x.shape
+
+    from inverse_flow_tpu.models.fastflow import build_fastflow
+    flow = build_fastflow((3, 16, 16), n_blocks=2, block_size=2,
+                          coupling_width=16, actnorm=True)
+    fparams, final = flow.init(jax.random.PRNGKey(26), (3, 16, 16))
+    x = jnp.asarray(
+        np.random.RandomState(0).randint(0, 256, (2, 3, 16, 16)), jnp.float32)
+    z, logpx = flow.forward(fparams, x, rng=jax.random.PRNGKey(27))
+    assert z.shape[0] == 2 and np.all(np.isfinite(np.asarray(logpx)))
+    s = flow.sample(fparams, jax.random.PRNGKey(28), 2)
+    assert s.shape == (2, 3, 16, 16)
