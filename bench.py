@@ -58,29 +58,33 @@ def main():
     params, opt_state, loss = train_step(params, opt_state, x, rng)
     jax.block_until_ready(loss)
 
-    n_iter = 30
-    times = []
+    # Chained timing: each step consumes the previous step's params, so
+    # the device must execute them sequentially; total/n is robust to
+    # async-dispatch / tunneled backends where per-call block_until_ready
+    # under-reports (the reference's per-batch CUDA-event convention,
+    # ``inf/train/experiment.py:259-262``, measured the same way would
+    # pipeline on TPU).
+    n_iter = 60
+    t0 = time.perf_counter()
     for i in range(n_iter):
-        r = jax.random.fold_in(rng, i)
-        t0 = time.perf_counter()
-        params, opt_state, loss = train_step(params, opt_state, x, r)
-        jax.block_until_ready(loss)
-        times.append((time.perf_counter() - t0) * 1e3)
-    times = sorted(times)[2:-2]  # trim outliers
-    step_ms = float(np.mean(times))
+        params, opt_state, loss = train_step(params, opt_state, x,
+                                             jax.random.fold_in(rng, i))
+    jax.block_until_ready(loss)
+    step_ms = (time.perf_counter() - t0) / n_iter * 1e3
 
-    # sampling latency (ms/image, n=1)
-    sample_one = jax.jit(lambda p, r: flow.sample(p, r, 1))
-    out = sample_one(params, rng)
+    # sampling latency (ms/image, n=1): same chained convention — fold the
+    # previous image into the rng so calls cannot overlap.
+    sample_one = jax.jit(
+        lambda p, r: flow.sample(p, jax.random.fold_in(rng, r), 1))
+    out = sample_one(params, jnp.uint32(0))
     jax.block_until_ready(out)
-    stimes = []
-    for i in range(20):
-        r = jax.random.fold_in(rng, 1000 + i)
-        t0 = time.perf_counter()
-        out = sample_one(params, r)
-        jax.block_until_ready(out)
-        stimes.append((time.perf_counter() - t0) * 1e3)
-    sample_ms = float(np.mean(sorted(stimes)[4:-4]))
+    n_s = 40
+    t0 = time.perf_counter()
+    for i in range(n_s):
+        out = sample_one(params, out.reshape(-1)[0].astype(jnp.uint32)
+                         * 0 + i)
+    jax.block_until_ready(out)
+    sample_ms = (time.perf_counter() - t0) / n_s * 1e3
 
     baseline_ms = None
     try:

@@ -35,9 +35,13 @@ def main(argv=None):
 
     if args.list or not args.name:
         print("available experiments:")
-        for name in sorted(EXPERIMENTS):
+        for name in sorted(set(EXPERIMENTS) | {"memory_speed"}):
             print(f"  {name}")
         return 0
+
+    if args.name == "memory_speed":
+        from .experiments.memory_speed import run_memory_speed
+        return run_memory_speed(smoke=args.smoke)
 
     spec = get_experiment(args.name)
     cfg = spec.config
@@ -85,6 +89,10 @@ def _smoke_model(spec):
     from .models.glow import build_cnn_flow, build_fc_flow, build_glow
     name = spec.name
     size = _smoke_data_size(spec)
+    if "multi_gpu" in name or "fastflow" in name:
+        from .models.fastflow import build_fastflow
+        return build_fastflow(size, n_blocks=2, block_size=2,
+                              coupling_width=16)
     kind_map = {
         "snf": "snf", "selfnorm": "snf", "conv1x1": "conv1x1",
         "ff": "ff", "emerging": "emerging", "exponential": "convexp",

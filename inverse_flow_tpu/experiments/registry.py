@@ -294,6 +294,24 @@ _register(ExperimentSpec(
                      modified_grad=True, add_recon_grad=False,
                      data_parallel=True, scheduler_name="None")))
 
+
+def _build_fastflow_imagenet():
+    from ..models.fastflow import build_fastflow
+    return build_fastflow(IMAGENET32, n_blocks=3, block_size=48,
+                          actnorm=False, coupling_width=512)
+
+
+# The explicit multi-scale FastFlow model tree with Gaussianize splits
+# (``inf/if_imagenet_multi_gpu.py:328-429,454-458``; DataParallel there,
+# batch sharding over the ICI mesh here).
+_register(ExperimentSpec(
+    "if_imagenet_multi_gpu",
+    _build_fastflow_imagenet,
+    lambda **kw: imagenet.load_data(size=32, **kw),
+    ExperimentConfig(name="FastFlow ImageNet32 DP", lr=1e-5, batch_size=100,
+                     modified_grad=True, add_recon_grad=False,
+                     data_parallel=True, scheduler_name="None")))
+
 # ---------------------------------------------------------------------------
 # Timescaling (if_timescaling.py:98-151, snf_timescaling.py:77-124):
 # batch-time vs image size sweeps on synthetic data — see cli --timescale.

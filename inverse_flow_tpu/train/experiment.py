@@ -77,6 +77,10 @@ class Experiment:
                         "Test LogPx": float("-inf")}
         self.batch_time = StatsRecorder()
         self.sample_time = StatsRecorder()
+        # per-epoch device-memory tracking (if_imagenet_multi_gpu.py:31-51,
+        # logged per epoch as at experiment.py:148-149)
+        from .memory import MemoryTracker
+        self.memory_tracker = MemoryTracker()
 
         # ---------------- mesh / sharding --------------------------------
         self.mesh = None
@@ -203,6 +207,7 @@ class Experiment:
             self.summary["Epoch"] = e
             avg_loss = self.train_epoch(e)
             self.logger.log("Train Avg Loss", avg_loss)
+            self.memory_tracker.log_to(self.logger)
 
             if e % cfg.eval_epochs == 0:
                 if cfg.eval_train:
