@@ -25,6 +25,8 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="capture an XLA profiler trace of epoch 1")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -51,6 +53,8 @@ def main(argv=None):
         return run_timescaling(args.name, smoke=args.smoke)
 
     overrides = {}
+    if args.profile_dir:
+        overrides["profile_dir"] = args.profile_dir
     if args.epochs is not None:
         overrides["epochs"] = args.epochs
     if args.batch_size is not None:

@@ -138,6 +138,33 @@ class Flow:
         return total
 
     # ------------------------------------------------------------------
+    def plot_filters(self, params, save_dir, prefix="filters"):
+        """Dump every conv-kernel-shaped parameter as a heatmap-grid PNG
+        (``flowsequential.py:139-142`` fan-out to the SelfNorm wandb filter
+        plots, ``selfnorm.py:248-278``). Returns the written paths."""
+        import os
+
+        import numpy as np
+
+        from ..utils.imaging import filter_heatmap_grid, write_png
+
+        os.makedirs(save_dir, exist_ok=True)
+        written = []
+        for i, (layer, p) in enumerate(zip(self.layers, params)):
+            leaves = jax.tree_util.tree_leaves_with_path(p)
+            for path, leaf in leaves:
+                a = np.asarray(leaf)
+                if a.ndim != 4 or a.shape[2] > 16 or a.shape[3] > 16:
+                    continue            # not a small conv kernel
+                key = "".join(str(getattr(k, "key", getattr(k, "idx", "")))
+                              for k in path)
+                name = f"{prefix}_{i:02d}_{type(layer).__name__}_{key}.png"
+                out = os.path.join(save_dir, name)
+                write_png(out, filter_heatmap_grid(a))
+                written.append(out)
+        return written
+
+    # ------------------------------------------------------------------
     @property
     def preprocessing_layers(self):
         return [l for l in self.layers if l.is_preprocessing]

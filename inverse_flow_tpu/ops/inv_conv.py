@@ -182,7 +182,8 @@ def _choose_block_rows(h: int, cw: int, kh: int) -> int:
 
 def _tri_block(mats, r_rows: int):
     """Dense (R*CW, R*CW) unit-lower-triangular within-block operator:
-    block (i, j) = mats[i - j] for 0 <= i - j <= KH-1."""
+    block (i, j) = mats[i - j] for 0 <= i - j <= KH-1. (Test oracle; the
+    solve inverts it structurally via :func:`_block_toeplitz_inverse`.)"""
     kh, cw = mats.shape[0], mats.shape[1]
     ii = lax.broadcasted_iota(jnp.int32, (r_rows, r_rows), 0)
     jj = lax.broadcasted_iota(jnp.int32, (r_rows, r_rows), 1)
@@ -190,6 +191,38 @@ def _tri_block(mats, r_rows: int):
     valid = jnp.logical_and(q >= 0, q <= kh - 1)
     gathered = mats[jnp.clip(q, 0, kh - 1)]                   # (R, R, CW, CW)
     gathered = jnp.where(valid[:, :, None, None], gathered, 0.0)
+    t = jnp.transpose(gathered, (0, 2, 1, 3))
+    return t.reshape(r_rows * cw, r_rows * cw)
+
+
+def _block_toeplitz_inverse(mats, r_rows: int):
+    """T_blk^{-1} without any large LU: T_blk is block-Toeplitz banded, so
+    its inverse blocks depend only on the row offset d = i - j:
+
+      D[0] = M0^{-1},  D[d] = -M0^{-1} sum_{r=1..min(KH-1,d)} mats[r] D[d-r]
+
+    R-1 unrolled steps of (CW x CW) matmuls — loop-free and MXU-dense,
+    where a generic LU of the (R*CW)^2 operator lowers to a long
+    sequential factorization loop on TPU. Returns the dense (R*CW, R*CW)
+    inverse assembled from the D blocks."""
+    kh, cw = mats.shape[0], mats.shape[1]
+    m0_inv = jnp.linalg.inv(mats[0])                          # (CW, CW)
+    d_blocks = [m0_inv]
+    for d in range(1, r_rows):
+        acc = None
+        for r in range(1, min(kh - 1, d) + 1):
+            term = jnp.matmul(mats[r], d_blocks[d - r], precision=_HI)
+            acc = term if acc is None else acc + term
+        d_blocks.append(
+            -jnp.matmul(m0_inv, acc, precision=_HI) if acc is not None
+            else jnp.zeros_like(m0_inv))
+    stack = jnp.stack(d_blocks)                               # (R, CW, CW)
+
+    ii = lax.broadcasted_iota(jnp.int32, (r_rows, r_rows), 0)
+    jj = lax.broadcasted_iota(jnp.int32, (r_rows, r_rows), 1)
+    q = ii - jj
+    gathered = stack[jnp.clip(q, 0, r_rows - 1)]
+    gathered = jnp.where((q >= 0)[:, :, None, None], gathered, 0.0)
     t = jnp.transpose(gathered, (0, 2, 1, 3))
     return t.reshape(r_rows * cw, r_rows * cw)
 
@@ -247,7 +280,7 @@ def _solve_ungrouped(x, w_eff, r_rows=None):
         nb = -(-h // r)
         rcw, kcw = r * cw, (kh - 1) * cw
 
-        t_inv = jnp.linalg.inv(_tri_block(mats, r))
+        t_inv = _block_toeplitz_inverse(mats, r)
         g = t_inv @ _prev_block(mats, r) if nb > 1 else None
 
         xp = jnp.pad(x_rows, ((0, 0), (0, nb * r - h), (0, 0)))

@@ -23,6 +23,7 @@ class ExperimentConfig:
     wandb_project: str = "inverse_flow_tpu"
     wandb_entity: Optional[str] = None
     log_timing: bool = True
+    profile_dir: Optional[str] = None   # XLA profiler trace of epoch 1
     log_interval: int = 100
     metrics_path: Optional[str] = None  # JSONL; default <name>_metrics.jsonl
     sample_dir: str = "samples"

@@ -203,9 +203,14 @@ class Experiment:
     # ------------------------------------------------------------------
     def run(self):
         cfg = self.cfg
+        from ..utils.profiling import trace
         for e in range(self.summary["Epoch"] + 1, cfg.epochs + 1):
             self.summary["Epoch"] = e
-            avg_loss = self.train_epoch(e)
+            # XLA profiler capture of the first epoch when requested
+            # (TPU analogue of the reference's CUDA-event instrumentation,
+            # experiment.py:221-224)
+            with trace(cfg.profile_dir if e == 1 else None):
+                avg_loss = self.train_epoch(e)
             self.logger.log("Train Avg Loss", avg_loss)
             self.memory_tracker.log_to(self.logger)
 
@@ -229,6 +234,12 @@ class Experiment:
 
             if e < 5 or e == 10 or e % cfg.sample_epochs == 0:
                 self.sample(e)
+            if cfg.save_images and e % cfg.vis_epochs == 0:
+                # filter heatmaps (selfnorm.py:248-278 wandb plots)
+                self.flow.plot_filters(
+                    self.state.params,
+                    os.path.join(cfg.sample_dir, "filters"),
+                    prefix=f"e{e:04d}")
         return self.summary
 
     # ------------------------------------------------------------------

@@ -113,3 +113,23 @@ def test_solve_jits_and_batches():
     y0 = f(x[:1])
     np.testing.assert_allclose(np.asarray(y[:1]), np.asarray(y0),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_block_toeplitz_inverse_matches_lu():
+    from inverse_flow_tpu.ops.inv_conv import (_block_toeplitz_inverse,
+                                               _row_matrices, _tri_block)
+    for c, w, kh, kw, r in [(3, 6, 3, 3, 5), (2, 4, 2, 2, 3), (4, 5, 1, 3, 4)]:
+        w_eff = _random_weff(jax.random.PRNGKey(kh * 10 + r), c, kh, kw)
+        mats = _row_matrices(w_eff, w)
+        t_inv = _block_toeplitz_inverse(mats, r)
+        t = _tri_block(mats, r)
+        np.testing.assert_allclose(np.asarray(t_inv @ t),
+                                   np.eye(r * c * w, dtype=np.float32),
+                                   atol=1e-4)
+        # transposed-kernel case: diagonal blocks unit-UPPER triangular
+        w_t = jnp.transpose(w_eff, (1, 0, 2, 3))
+        mats_t = _row_matrices(w_t, w)
+        t_inv = _block_toeplitz_inverse(mats_t, r)
+        np.testing.assert_allclose(np.asarray(t_inv @ _tri_block(mats_t, r)),
+                                   np.eye(r * c * w, dtype=np.float32),
+                                   atol=1e-4)

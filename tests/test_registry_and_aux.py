@@ -77,3 +77,33 @@ def test_galaxy_prepare_and_load(tmp_path):
     batches = list(train)
     assert len(batches) == 3 and batches[0].shape == (2, 3, 64, 64)
     assert batches[0].max() > 1.0    # raw 0..255 (ToTensorNoNorm semantics)
+
+
+def test_profiling_helpers(tmp_path):
+    import jax.numpy as jnp
+
+    from inverse_flow_tpu.utils.profiling import StepTimer, trace
+
+    with trace(None):        # disabled path: pure no-op
+        pass
+    timer = StepTimer()
+    out = timer.timed(lambda a: a * 2, jnp.ones((4,)))
+    assert out.shape == (4,) and len(timer.durations_ms) == 1
+    with timer:
+        pass
+    assert len(timer.durations_ms) == 2
+
+
+def test_plot_filters(tmp_path):
+    import jax
+
+    from inverse_flow_tpu.models.glow import build_glow
+
+    flow = build_glow((1, 8, 8), step_kind="inv_conv_no_pad", num_blocks=1,
+                      block_size=1, coupling_width=8, actnorm=True,
+                      split_prior=False, activation="None",
+                      scan_blocks=False)
+    params, _ = flow.init(jax.random.PRNGKey(0), (1, 8, 8))
+    written = flow.plot_filters(params, str(tmp_path), prefix="t")
+    assert written, "expected at least one conv-kernel heatmap"
+    assert all(os.path.exists(w) for w in written)
