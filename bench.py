@@ -64,27 +64,42 @@ def main():
     # under-reports (the reference's per-batch CUDA-event convention,
     # ``inf/train/experiment.py:259-262``, measured the same way would
     # pipeline on TPU).
-    n_iter = 60
-    t0 = time.perf_counter()
-    for i in range(n_iter):
-        params, opt_state, loss = train_step(params, opt_state, x,
-                                             jax.random.fold_in(rng, i))
-    jax.block_until_ready(loss)
-    step_ms = (time.perf_counter() - t0) / n_iter * 1e3
+    step_trials = []
+    for trial in range(2):
+        n_iter = 60
+        t0 = time.perf_counter()
+        for i in range(n_iter):
+            params, opt_state, loss = train_step(params, opt_state, x,
+                                                 jax.random.fold_in(rng, i))
+        jax.block_until_ready(loss)
+        step_trials.append((time.perf_counter() - t0) / n_iter * 1e3)
+    step_ms = min(step_trials)
 
-    # sampling latency (ms/image, n=1): same chained convention — fold the
-    # previous image into the rng so calls cannot overlap.
-    sample_one = jax.jit(
-        lambda p, r: flow.sample(p, jax.random.fold_in(rng, r), 1))
-    out = sample_one(params, jnp.uint32(0))
-    jax.block_until_ready(out)
-    n_s = 40
-    t0 = time.perf_counter()
-    for i in range(n_s):
-        out = sample_one(params, out.reshape(-1)[0].astype(jnp.uint32)
-                         * 0 + i)
-    jax.block_until_ready(out)
-    sample_ms = (time.perf_counter() - t0) / n_s * 1e3
+    # sampling latency (ms/image, n=1 repeated — the reference convention,
+    # ``experiment.py:377-400``): N sequential single-image reverses run
+    # INSIDE one program (lax.scan) so per-call dispatch can't pollute the
+    # per-image number; 3 trials, best trial taken — the first trial still
+    # pays one-time executable-load costs on tunneled backends.
+    n_inner = 8
+    @jax.jit
+    def sample_n(p, r):
+        def body(acc, rr):
+            return acc + jnp.sum(flow.sample(p, rr, 1)), None
+        acc, _ = jax.lax.scan(body, 0.0, jax.random.split(r, n_inner))
+        return acc
+
+    y = sample_n(params, rng)
+    jax.block_until_ready(y)
+    trials = []
+    for trial in range(3):
+        n_s = 30
+        t0 = time.perf_counter()
+        for i in range(n_s):
+            y = sample_n(params, jax.random.fold_in(
+                rng, y.astype(jnp.uint32) * 0 + i))
+        jax.block_until_ready(y)
+        trials.append((time.perf_counter() - t0) / n_s / n_inner * 1e3)
+    sample_ms = min(trials)
 
     baseline_ms = None
     try:

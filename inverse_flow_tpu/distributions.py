@@ -93,3 +93,46 @@ class LaplacePrior:
         x = jax.random.laplace(rng, (n,) + tuple(self.size), dtype=jnp.float32)
         x = x / math.sqrt(2.0)
         return x, self.log_prob(x)
+
+
+class DiagonalGaussianPrior:
+    """Diagonal Gaussian with (mean, log_std) vectors.
+
+    Covers the reference's ``DiagonalGaussian`` (``inf/train/losses.py:
+    126-145``) and ``NegativeGaussianLoss_test`` (``:51-120``), including
+    the latter's defensive input handling: NaN/inf scrub then clip to
+    [-10, 10] before evaluating the log-density. ``LogGaussian``
+    (``losses.py:121-125``) is the positive-sign view — use ``log_prob``;
+    ``nll`` is the negative one.
+    """
+
+    def __init__(self, size, mean=None, log_std=None, clean_inputs=True,
+                 clip=10.0):
+        self.size = tuple(size) if hasattr(size, "__len__") else (int(size),)
+        self.dim = int(math.prod(self.size))
+        self.mean = jnp.zeros(self.dim) if mean is None else jnp.ravel(mean)
+        self.log_std = (jnp.zeros(self.dim) if log_std is None
+                        else jnp.ravel(log_std))
+        self.clean_inputs = clean_inputs
+        self.clip = clip
+
+    def _flat(self, x):
+        x = x.reshape(x.shape[0], self.dim)
+        if self.clean_inputs:
+            x = jnp.nan_to_num(x, nan=0.0, posinf=1e10, neginf=-1e10)
+            x = jnp.clip(x, -self.clip, self.clip)
+        return x
+
+    def log_prob(self, x):
+        z = (self._flat(x) - self.mean) * jnp.exp(-self.log_std)
+        per = -0.5 * z ** 2 - self.log_std - 0.5 * _LOG_2PI
+        return jnp.sum(per, axis=-1)
+
+    def nll(self, x):
+        return -self.log_prob(x)
+
+    def sample(self, rng, n):
+        eps = jax.random.normal(rng, (n, self.dim))
+        x = (self.mean + eps * jnp.exp(self.log_std)).reshape(
+            (n,) + self.size)
+        return x, self.log_prob(x)

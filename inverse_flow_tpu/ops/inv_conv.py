@@ -66,9 +66,10 @@ from jax import lax
 _HI = lax.Precision.HIGHEST
 
 # Implementation selector for the sequential block scan:
-#   'auto'   — Pallas on TPU backends, XLA scan elsewhere
+#   'auto'   — currently the XLA scan everywhere (see _pallas_ok for the
+#              measured rationale)
 #   'xla'    — lax.scan / unrolled python loop
-#   'pallas' — fused VMEM-resident Pallas kernel
+#   'pallas' — fused VMEM-resident Pallas kernel (opt-in)
 _IMPL = os.environ.get("IFT_INV_CONV_IMPL", "auto")
 
 
@@ -80,11 +81,15 @@ def set_impl(name: str):
 
 
 def _pallas_ok() -> bool:
-    if _IMPL == "pallas":
-        return True
-    if _IMPL == "xla":
-        return False
-    return jax.default_backend() in ("tpu", "axon")
+    # Measured on v5e (chained end-to-end, Glow L=2 K=16 batch 100): the
+    # XLA block scan runs the full train step at 0.73 ms vs 184 ms with
+    # the pallas kernel substituted per layer — at these block counts the
+    # fixed custom-call/layout cost (~3 ms inside a large program)
+    # swamps the recurrence, and even at nb=171 (timescaling shapes) XLA
+    # ties or wins (1.77 vs 3.34 ms standalone). 'auto' therefore always
+    # picks XLA; the kernel stays available for explicit selection and as
+    # the base for deeper fusions (whole 4-order units in one kernel).
+    return _IMPL == "pallas"
 
 
 # ---------------------------------------------------------------------------
@@ -287,9 +292,10 @@ def _solve_ungrouped(x, w_eff, r_rows=None):
         xb = xp.reshape(b, nb, rcw)
         c_all = jnp.einsum("bni,ji->bnj", xb, t_inv, precision=_HI)
 
+        use_pallas = _pallas_ok() and _pallas_batch_tile(b, nb, rcw, kcw)
         if nb == 1:
             y_blocks = c_all
-        elif _pallas_ok() and _pallas_batch_tile(b, nb, rcw, kcw):
+        elif use_pallas:
             y_blocks = _scan_blocks_pallas(c_all, g, kcw)
         else:
             y_blocks = _scan_blocks_xla(c_all, g, kcw)
@@ -346,6 +352,11 @@ def _scan_blocks_pallas(c_all, g, kcw: int, interpret: bool = False):
     c_t = jnp.transpose(c_all, (1, 0, 2))                     # (NB, B, RCW)
     bt = _pallas_batch_tile(b, nb, rcw, kcw)
     assert bt, "caller must gate on _pallas_batch_tile"
+    # pad the batch to a multiple of the tile so the grid has no
+    # out-of-bounds blocks
+    b_pad = -(-b // bt) * bt
+    if b_pad != b:
+        c_t = jnp.pad(c_t, ((0, 0), (0, b_pad - b), (0, 0)))
 
     def kernel(c_ref, g_ref, y_ref, hist):
         hist[:] = jnp.zeros_like(hist)
@@ -364,7 +375,7 @@ def _scan_blocks_pallas(c_all, g, kcw: int, interpret: bool = False):
 
     y = pl.pallas_call(
         kernel,
-        grid=(pl.cdiv(b, bt),),
+        grid=(b_pad // bt,),
         in_specs=[
             pl.BlockSpec((nb, bt, rcw), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
@@ -373,11 +384,11 @@ def _scan_blocks_pallas(c_all, g, kcw: int, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((nb, bt, rcw), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, b, rcw), c_all.dtype),
+        out_shape=jax.ShapeDtypeStruct((nb, b_pad, rcw), c_all.dtype),
         scratch_shapes=[pltpu.VMEM((bt, kcw), jnp.float32)],
         interpret=interpret,
     )(c_t, g)
-    return jnp.transpose(y, (1, 0, 2))
+    return jnp.transpose(y[:, :b], (1, 0, 2))
 
 
 def _solve(x, w_eff, groups: int = 1):

@@ -107,3 +107,24 @@ def test_plot_filters(tmp_path):
     written = flow.plot_filters(params, str(tmp_path), prefix="t")
     assert written, "expected at least one conv-kernel heatmap"
     assert all(os.path.exists(w) for w in written)
+
+
+def test_diagonal_gaussian_prior():
+    import jax
+    import jax.numpy as jnp
+
+    from inverse_flow_tpu.distributions import (DiagonalGaussianPrior,
+                                                GaussianPrior)
+
+    d = DiagonalGaussianPrior((2, 3, 3))
+    g = GaussianPrior((2, 3, 3))
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 2, 3, 3), jnp.float32)
+    # zero-mean unit-std diagonal == standard normal
+    np.testing.assert_allclose(np.asarray(d.log_prob(x)),
+                               np.asarray(g.log_prob(x)), rtol=1e-5)
+    # defensive path (NegativeGaussianLoss_test, losses.py:51-120):
+    # NaN/inf scrubbed, values clipped — log-prob stays finite
+    bad = x.at[0, 0, 0, 0].set(jnp.nan).at[1, 0, 0, 0].set(jnp.inf)
+    assert np.all(np.isfinite(np.asarray(d.log_prob(bad))))
+    s, lp = d.sample(jax.random.PRNGKey(0), 5)
+    assert s.shape == (5, 2, 3, 3) and lp.shape == (5,)
