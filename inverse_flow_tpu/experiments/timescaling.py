@@ -52,15 +52,19 @@ def run_timescaling(name="if_timescaling", sizes=None, batch_size=128,
         # compile
         l, g = loss_grad(params, x)
         jax.block_until_ready(l)
-        times = []
-        for _ in range(iters):
+        # chained-dependency timing (each iter consumes the previous loss)
+        # so async/tunneled dispatch cannot under-report; best of 2 trials
+        # absorbs one-time executable-load cost.
+        trials = []
+        for _ in range(2):
             t0 = time.perf_counter()
-            l, g = loss_grad(params, x)
+            for _ in range(iters):
+                l, g = loss_grad(params, x + 0.0 * l)
             jax.block_until_ready(l)
-            times.append((time.perf_counter() - t0) * 1e3)
+            trials.append((time.perf_counter() - t0) / iters * 1e3)
         rec = {"size": s, "batch": batch_size,
-               "ms_mean": float(np.mean(times)),
-               "ms_std": float(np.std(times))}
+               "ms_mean": float(min(trials)),
+               "ms_std": float(abs(trials[0] - trials[1]))}
         results.append(rec)
         print(json.dumps(rec))
         with open(out_path, "a") as f:

@@ -2,7 +2,7 @@ from .base import FlowLayer, sum_except_batch, zeros_ldj
 from .sequential import Flow
 from .preprocess import (Dequantization, Normalization, LogitTransform,
                          SigmoidTransform)
-from .actnorm import ActNorm, ActNormFC
+from .actnorm import ActNorm, ActNormFC, ActNormPlainLayer
 from .squeeze import Squeeze, UnSqueeze
 from .conv1x1 import Conv1x1, Conv1x1Householder
 from .coupling import Coupling
@@ -15,7 +15,7 @@ from .activations import (FlowActivationLayer, SmoothLeakyRelu, LeakyRelu,
 __all__ = [
     "FlowLayer", "Flow", "sum_except_batch", "zeros_ldj",
     "Dequantization", "Normalization", "LogitTransform", "SigmoidTransform",
-    "ActNorm", "ActNormFC", "Squeeze", "UnSqueeze",
+    "ActNorm", "ActNormFC", "ActNormPlainLayer", "Squeeze", "UnSqueeze",
     "Conv1x1", "Conv1x1Householder", "Coupling",
     "SplitPrior", "SplitPriorFC",
     "FlowActivationLayer", "SmoothLeakyRelu", "LeakyRelu",

@@ -84,3 +84,12 @@ class ActNormFC(ActNorm):
         out = super().inverse(params, z.reshape(-1, self.n_dims, 1, 1),
                               rng=rng)
         return out.reshape(-1, self.n_dims)
+
+
+class ActNormPlainLayer(ActNorm):
+    """ActNorm used as a plain (non-flow) module: forward returns only the
+    activation, dropping the ldj (``inf/layers/actnorm.py:71-74``) — used
+    inside conditioning networks where no log-det is tracked."""
+
+    def apply(self, params, x):
+        return super().forward(params, x)[0]

@@ -3,12 +3,17 @@
 Reference parity: single-file ``torch.save`` tar of model/optimizer/
 scheduler state + summary + config (``inf/train/experiment.py:475-502``),
 written on new best validation log-px, restored with a config diff warning.
-Here the whole train state is one pytree, serialized with pickle of
-device_get'd numpy arrays (no torch dependency, works for any optax state).
+
+Two backends over the same train-state pytree:
+  * pickle of device_get'd numpy arrays (default — single file, no deps);
+  * Orbax (``path`` ending in ``.orbax`` or ``backend='orbax'``) — the
+    TPU-native checkpointer (SURVEY §5): async-capable, sharding-aware,
+    restores to device directly. Falls back to pickle if orbax is absent.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import pickle
 
@@ -16,7 +21,17 @@ import jax
 import numpy as np
 
 
-def save_checkpoint(path, state, summary, config_dict):
+def _is_orbax(path, backend):
+    return backend == "orbax" or (backend is None
+                                  and str(path).endswith(".orbax"))
+
+
+def save_checkpoint(path, state, summary, config_dict, backend=None):
+    if _is_orbax(path, backend):
+        try:
+            return _save_orbax(path, state, summary, config_dict)
+        except ImportError:
+            pass
     payload = {
         "state": jax.device_get(state),
         "summary": dict(summary),
@@ -29,7 +44,13 @@ def save_checkpoint(path, state, summary, config_dict):
     os.replace(tmp, path)
 
 
-def load_checkpoint(path, config_dict=None, log=print):
+def load_checkpoint(path, config_dict=None, log=print, backend=None,
+                    state_like=None):
+    if _is_orbax(path, backend):
+        try:
+            return _load_orbax(path, config_dict, log, state_like)
+        except ImportError:
+            pass
     with open(path, "rb") as f:
         payload = pickle.load(f)
     if config_dict is not None:
@@ -39,3 +60,50 @@ def load_checkpoint(path, config_dict=None, log=print):
         if diff:
             log(f"Warning: differences in loaded config: {sorted(diff)}")
     return payload["state"], payload["summary"]
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend
+# ---------------------------------------------------------------------------
+
+def _save_orbax(path, state, summary, config_dict):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    with open(os.path.join(path, "extra.json"), "w") as f:
+        json.dump({"summary": _jsonable(dict(summary)),
+                   "config": _jsonable(dict(config_dict))}, f)
+
+
+def _load_orbax(path, config_dict, log, state_like):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    if state_like is not None:
+        state = ckptr.restore(path, item=jax.device_get(state_like))
+    else:
+        state = ckptr.restore(path)
+    with open(os.path.join(path, "extra.json")) as f:
+        extra = json.load(f)
+    if config_dict is not None:
+        old = extra.get("config", {})
+        new = _jsonable(dict(config_dict))
+        diff = {k for k in set(old) | set(new) if old.get(k) != new.get(k)}
+        if diff:
+            log(f"Warning: differences in loaded config: {sorted(diff)}")
+    return state, extra["summary"]
+
+
+def _jsonable(d):
+    out = {}
+    for k, v in d.items():
+        if isinstance(v, (str, int, float, bool)) or v is None:
+            out[k] = v
+        elif isinstance(v, (list, tuple)):
+            out[k] = list(v)
+        else:
+            out[k] = float(np.asarray(v)) if np.ndim(v) == 0 else str(v)
+    return out

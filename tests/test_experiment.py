@@ -131,3 +131,24 @@ def test_repeated_block_matches_unrolled():
     x_s = flow_s.reconstruct(ps, x, rng=rng)
     np.testing.assert_allclose(np.asarray(x_s), np.asarray(x),
                                atol=1e-3)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    import pytest
+
+    from inverse_flow_tpu.train.checkpoint import (load_checkpoint,
+                                                   save_checkpoint)
+    pytest.importorskip("orbax.checkpoint")
+    state = {"w": jnp.arange(6.0).reshape(2, 3), "step": jnp.int32(7),
+             "nested": {"b": jnp.ones((4,))}}
+    path = str(tmp_path / "ckpt.orbax")
+    save_checkpoint(path, state, {"Epoch": 3, "Best Val LogPx": -1.5},
+                    {"lr": 1e-3, "name": "t"})
+    restored, summary = load_checkpoint(path, config_dict={"lr": 1e-3,
+                                                           "name": "t"},
+                                        state_like=state)
+    assert summary["Epoch"] == 3
+    np.testing.assert_allclose(np.asarray(restored["w"]),
+                               np.arange(6.0).reshape(2, 3))
+    np.testing.assert_allclose(np.asarray(restored["nested"]["b"]), 1.0)
