@@ -43,3 +43,44 @@ def replicate(tree, mesh: Mesh):
 
 def batch_sharding(mesh: Mesh, ndim: int, axis: str = "data"):
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+def make_mesh_2d(n_data: int, n_model: int,
+                 axes=("data", "model")) -> Mesh:
+    """2-D (data, model) mesh. Parity needs only DP (SURVEY §2.3), but the
+    coupling nets — where nearly all parameters live — shard cleanly over
+    a 'model' axis (Megatron-style column/row split of the two wide
+    convs), so the framework supports mixed dp x tp out of the box."""
+    devices = np.asarray(jax.devices()[: n_data * n_model])
+    return Mesh(devices.reshape(n_data, n_model), axes)
+
+
+def coupling_tp_shardings(params_tree, mesh: Mesh, axis: str = "model"):
+    """A NamedSharding pytree for params: the coupling net's hidden width
+    is sharded over ``axis`` (w1: output channels = column-parallel;
+    w2: input channels = row-parallel — XLA inserts the psum), everything
+    else replicated. Works for plain and RepeatedBlock-stacked params
+    (leading K dim)."""
+    if axis not in mesh.axis_names:
+        return jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P()), params_tree)
+    n_shard = mesh.shape[axis]
+
+    def spec_for(path, leaf):
+        key = None
+        for p in reversed(path):
+            if hasattr(p, "key"):
+                key = p.key
+                break
+        dim = None
+        if key == "w1" and leaf.ndim >= 4:
+            dim = leaf.ndim - 4          # (.., width, cin, kh, kw)
+        elif key == "w2" and leaf.ndim >= 4:
+            dim = leaf.ndim - 3          # (.., cout, width, 1, 1)
+        if dim is None or leaf.shape[dim] % n_shard != 0:
+            return NamedSharding(mesh, P())
+        spec = [None] * leaf.ndim
+        spec[dim] = axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map_with_path(spec_for, params_tree)

@@ -152,3 +152,40 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(restored["w"]),
                                np.arange(6.0).reshape(2, 3))
     np.testing.assert_allclose(np.asarray(restored["nested"]["b"]), 1.0)
+
+
+def test_coupling_tp_sharding_matches_replicated():
+    """2-D (data, model) mesh: tensor-sharding the coupling width must not
+    change the math (XLA inserts the collectives)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import pytest
+
+    from inverse_flow_tpu.parallel.mesh import (coupling_tp_shardings,
+                                                make_mesh_2d)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh_2d(4, 2)
+    flow = build_glow((1, 8, 8), step_kind="inv_conv_no_pad", num_blocks=1,
+                      block_size=2, coupling_width=16, actnorm=True,
+                      split_prior=True, activation="SLR")
+    rng = jax.random.PRNGKey(0)
+    params, _ = flow.init(rng, (1, 8, 8))
+    x = jnp.asarray(np.random.RandomState(0).randint(0, 256, (8, 1, 8, 8)),
+                    jnp.float32)
+
+    def loss(p, x):
+        return -jnp.mean(flow.forward(p, x, rng=rng)[1])
+
+    ref = jax.jit(loss)(params, x)
+
+    psh = coupling_tp_shardings(params, mesh)
+    # at least the two wide coupling convs must actually shard
+    specs = [s.spec for s in jax.tree_util.tree_leaves(psh)]
+    assert any("model" in str(s) for s in specs)
+    p_sharded = jax.tree_util.tree_map(jax.device_put, params, psh)
+    x_sharded = jax.device_put(
+        x, NamedSharding(mesh, P("data", None, None, None)))
+    got = jax.jit(loss)(p_sharded, x_sharded)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
