@@ -21,7 +21,12 @@ import numpy as np
 class ArrayLoader:
     def __init__(self, data: np.ndarray, batch_size: int, shuffle=False,
                  seed: int = 0, drop_last=True,
-                 augment: Optional[Callable] = None):
+                 augment: Optional[Callable] = None,
+                 native_prefetch: Optional[bool] = None):
+        """``native_prefetch``: gather + shuffle batches on a background
+        C++ thread (``native/prefetch.cpp``, the threaded-DataLoader
+        equivalent). None = auto: enabled for shuffled uint8-valued data
+        when the native library is available."""
         assert data.ndim >= 2
         self.data = data
         self.batch_size = int(batch_size)
@@ -29,7 +34,28 @@ class ArrayLoader:
         self.drop_last = drop_last
         self.augment = augment
         self._rng = np.random.RandomState(seed)
+        self._seed = seed
         self.data_shape = tuple(data.shape[1:])
+        self._prefetcher = None
+        if native_prefetch or native_prefetch is None:
+            self._maybe_init_prefetch(forced=bool(native_prefetch))
+
+    def _maybe_init_prefetch(self, forced: bool):
+        from .. import native
+        d = self.data
+        is_u8 = (d.dtype == np.uint8
+                 or (np.issubdtype(d.dtype, np.floating)
+                     and d.size and float(d.min()) >= 0
+                     and float(d.max()) <= 255
+                     and np.all(d[:2] == np.floor(d[:2]))))
+        if not ((self.shuffle and self.drop_last and is_u8) or forced):
+            return
+        if not native.available():
+            assert not forced, "native prefetcher unavailable"
+            return
+        self._prefetcher = native.NativePrefetcher(
+            d.astype(np.uint8, copy=False), self.batch_size,
+            shuffle=self.shuffle, seed=self._seed)
 
     def __len__(self):
         n = self.data.shape[0] // self.batch_size
@@ -38,6 +64,13 @@ class ArrayLoader:
         return max(1, n)
 
     def __iter__(self):
+        if self._prefetcher is not None:
+            for _ in range(self._prefetcher.batches_per_epoch):
+                batch = self._prefetcher.next().astype(np.float32)
+                if self.augment is not None:
+                    batch = self.augment(batch, self._rng)
+                yield batch
+            return
         idx = np.arange(self.data.shape[0])
         if self.shuffle:
             self._rng.shuffle(idx)

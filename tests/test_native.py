@@ -47,3 +47,26 @@ def test_prefetcher_covers_epoch():
         seen.update(batch[:, 0].tolist())
     p.close()
     assert len(seen) == 32  # every item appears once per epoch
+
+
+def test_arrayloader_native_prefetch_path():
+    from inverse_flow_tpu import native
+    from inverse_flow_tpu.data.loader import ArrayLoader
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    data = np.random.RandomState(0).randint(
+        0, 256, (40, 1, 4, 4)).astype(np.float32)
+    loader = ArrayLoader(data, 8, shuffle=True, seed=1)
+    assert loader._prefetcher is not None   # auto-enabled
+    batches = list(loader)
+    assert len(batches) == 5
+    assert batches[0].shape == (8, 1, 4, 4)
+    assert batches[0].dtype == np.float32
+    # every item still comes from the dataset
+    flat = {arr.tobytes() for arr in data.astype(np.uint8)}
+    for b in batches:
+        for item in b.astype(np.uint8):
+            assert item.tobytes() in flat
+    # plain path still default for unshuffled loaders
+    assert ArrayLoader(data, 8)._prefetcher is None
