@@ -60,6 +60,29 @@ def sample_toy(name, n, seed=0):
         x1 = rng.rand(n) * 8 - 4
         x2 = np.sin(2 * x1) + rng.randn(n) * 0.2
         return np.stack([x1, x2], axis=1).astype(np.float32)
+    if name == "1gaussian":
+        return rng.randn(n, 2).astype(np.float32)
+    if name in ("trimodal", "trimodal2"):
+        centers = np.array([(0, 0), (5, 5), (5, -5)], np.float32)
+        stds = (np.array([1.0, 0.5, 0.5], np.float32)
+                if name == "trimodal"
+                else np.array([0.5, 0.5, 0.5], np.float32))
+        k = rng.randint(0, 3, n)
+        x = rng.randn(n, 2).astype(np.float32) * stds[k, None] + centers[k]
+        return x
+    if name == "smile":
+        scale, sq2 = 4.0, 1.0 / np.sqrt(2)
+        s3 = np.sqrt(3) / 2
+        centers = np.array(
+            [(0.5, -0.8660254), (-0.5, -0.8660254), (0.0, 0.0),   # mouth/nose
+             (0.0, 1.0), (sq2, sq2), (-sq2, sq2),                  # brow
+             (0.5, s3), (0.25881905, 0.96592583),
+             (-0.5, s3), (-0.25881905, 0.96592583)],
+            np.float32) * scale
+        weights = np.array([1 / 6] * 3 + [1 / 14] * 7, np.float32)
+        k = rng.choice(len(centers), size=n, p=weights / weights.sum())
+        return (rng.randn(n, 2).astype(np.float32) * 0.5
+                + centers[k]).astype(np.float32)
     if name == "pinwheel":
         rad_std, tan_std, n_cls, rate = 0.3, 0.1, 5, 0.25
         rads = np.linspace(0, 2 * np.pi, n_cls, endpoint=False)
