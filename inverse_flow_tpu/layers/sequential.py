@@ -70,6 +70,20 @@ class Flow:
         """``flowsequential.py:45-46`` — exact path by default."""
         return self.forward(params, x, rng=rng, exact=exact)[1]
 
+    def forward_verbose(self, params, x, rng=None):
+        """Forward returning per-layer mean ldj (the reference's `verbose`
+        per-layer logdet logging, README.md:121 / flowsequential.py:36).
+        Returns (z, log_px, {layer_name_i: mean_ldj})."""
+        rngs = self._layer_rngs(rng)
+        logdet = jnp.zeros((x.shape[0],), jnp.float32)
+        per_layer = {}
+        for i, (layer, p, r) in enumerate(zip(self.layers, params, rngs)):
+            x, ldj = layer.forward(p, x, rng=r)
+            logdet = logdet + ldj
+            per_layer[f"{i:02d}_{type(layer).__name__}"] = jnp.mean(ldj)
+        logprob = self.base_distribution.log_prob(x)
+        return x, logprob + logdet, per_layer
+
     def cheap_log_prob(self, params, x, rng=None):
         return self.forward(params, x, rng=rng, exact=False)[1]
 

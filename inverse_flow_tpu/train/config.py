@@ -24,6 +24,7 @@ class ExperimentConfig:
     wandb_entity: Optional[str] = None
     log_timing: bool = True
     profile_dir: Optional[str] = None   # XLA profiler trace of epoch 1
+    verbose: bool = False               # per-layer mean ldj each eval
     log_interval: int = 100
     metrics_path: Optional[str] = None  # JSONL; default <name>_metrics.jsonl
     sample_dir: str = "samples"

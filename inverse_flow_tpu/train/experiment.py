@@ -221,6 +221,8 @@ class Experiment:
                     self.logger.log("Train BPD", self.to_bpd(tr))
                 val = self.eval_epoch(self.val_loader)
                 self.logger.log("Val LogPx", val)
+                if cfg.verbose:
+                    self._log_per_layer_ldj()
                 self.logger.log("Val BPD", self.to_bpd(val))
                 if val > self.summary["Best Val LogPx"]:
                     self.summary["Best Val LogPx"] = val
@@ -292,6 +294,15 @@ class Experiment:
             if num >= self.cfg.max_eval_ex:
                 break
         return total / max(1, num)
+
+    def _log_per_layer_ldj(self):
+        """Per-layer mean ldj on one batch (reference `verbose` option,
+        README.md:121)."""
+        x = next(iter(self.val_loader))
+        _, _, per_layer = self.flow.forward_verbose(
+            self.state.params, self._prep_batch(x), rng=self._next_rng())
+        for name, v in per_layer.items():
+            self.logger.log(f"ldj/{name}", float(v))
 
     # ------------------------------------------------------------------
     def sample(self, epoch):

@@ -189,3 +189,24 @@ def test_coupling_tp_sharding_matches_replicated():
         x, NamedSharding(mesh, P("data", None, None, None)))
     got = jax.jit(loss)(p_sharded, x_sharded)
     np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+
+def test_verbose_per_layer_ldj(tmp_path):
+    from inverse_flow_tpu.data import synthetic
+
+    flow = build_glow((1, 8, 8), step_kind="inv_conv_no_pad", num_blocks=1,
+                      block_size=2, coupling_width=8, actnorm=True,
+                      split_prior=False, activation="SLR")
+    loaders = synthetic.load_data((1, 8, 8), n_train=32, n_val=16,
+                                  n_test=16, batch_size=16)
+    cfg = ExperimentConfig(name="verbose-test", epochs=1, lr=1e-4,
+                           batch_size=16, verbose=True, save_images=False,
+                           n_samples=2, sample_epochs=1, eval_epochs=1,
+                           modified_grad=True, add_recon_grad=False,
+                           metrics_path=str(tmp_path / "m.jsonl"),
+                           checkpoint_path=str(tmp_path / "c.pkl"))
+    exp = Experiment(flow, *loaders, cfg)
+    exp.run()
+    import json
+    rows = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    assert any(str(r.get("name", "")).startswith("ldj/") for r in rows)
