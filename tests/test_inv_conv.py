@@ -133,3 +133,24 @@ def test_block_toeplitz_inverse_matches_lu():
         np.testing.assert_allclose(np.asarray(t_inv @ _tri_block(mats_t, r)),
                                    np.eye(r * c * w, dtype=np.float32),
                                    atol=1e-4)
+
+
+@pytest.mark.parametrize("cin,cout,k,stride,pad", [
+    (1, 1, 3, 1, 1), (2, 2, 3, 1, 1), (3, 3, 1, 1, 0),
+    (2, 2, 2, 2, 0), (4, 4, 3, 1, 0),
+])
+def test_dense_conv_operator_matches_conv(cin, cout, k, stride, pad):
+    """Toeplitz self-test (``inf/utils/toeplitz.py:66-112``): the dense
+    operator applied to a flattened input equals the conv itself."""
+    from inverse_flow_tpu.ops.convs import conv2d
+    from inverse_flow_tpu.ops.toeplitz import dense_conv_operator
+
+    h = w = 6
+    key = jax.random.PRNGKey(cin * 10 + k)
+    wgt = jax.random.normal(key, (cout, cin, k, k), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, cin, h, w), jnp.float32)
+    t = dense_conv_operator(wgt, (cin, h, w), stride=stride, padding=pad)
+    y_conv = conv2d(x, wgt, stride=stride, padding=pad)
+    y_mat = (t @ x.reshape(2, -1).T).T.reshape(y_conv.shape)
+    np.testing.assert_allclose(np.asarray(y_mat), np.asarray(y_conv),
+                               atol=1e-4, rtol=1e-4)
