@@ -403,6 +403,51 @@ def _solve(x, w_eff, groups: int = 1):
 
 
 # ---------------------------------------------------------------------------
+# Jacobi / Neumann-series solve: fully parallel iterations
+# ---------------------------------------------------------------------------
+
+def inv_conv_solve_jacobi(x, w_eff, groups: int = 1, iters: int = 12,
+                          tol: float = 0.0):
+    """Approximate ``T^{-1} x`` by fixed-point iteration
+    ``y_{k+1} = x - (T - I) y_k`` (Neumann series of the strictly
+    lower-triangular part).
+
+    Every iteration is ONE masked conv — MXU-dense with no sequential
+    scan at all, so wall-clock is independent of image height. Converges
+    geometrically in ||T - I|| (exact after C*H*W iterations by
+    nilpotency); with the reference's small-magnitude masked weights
+    (weight_clamp=0.01 configs) a dozen iterations reach float32
+    round-off. Cf. selective Jacobi decoding for AR flows
+    (arXiv:2505.24791) — the spatial analogue of their token-parallel
+    decode. Use for long-chain shapes (timescaling, large images) or
+    sampling; the exact blocked solve stays the training default.
+
+    ``tol > 0`` stops early (lax.while_loop) when max|residual| < tol.
+    """
+    def step(y):
+        return x - (masked_conv_apply(y, w_eff, groups) - y)
+
+    if tol > 0.0:
+        def cond(state):
+            k, y, done = state
+            return jnp.logical_and(k < iters, jnp.logical_not(done))
+
+        def body(state):
+            k, y, _ = state
+            y_next = step(y)
+            done = jnp.max(jnp.abs(y_next - y)) < tol
+            return k + 1, y_next, done
+
+        _, y, _ = lax.while_loop(cond, body, (0, x, jnp.bool_(False)))
+        return y
+
+    def body(_, y):
+        return step(y)
+
+    return lax.fori_loop(0, iters, body, x)
+
+
+# ---------------------------------------------------------------------------
 # custom_vjp: parallel backprop without materializing sensitivities
 # ---------------------------------------------------------------------------
 

@@ -154,3 +154,28 @@ def test_dense_conv_operator_matches_conv(cin, cout, k, stride, pad):
     y_mat = (t @ x.reshape(2, -1).T).T.reshape(y_conv.shape)
     np.testing.assert_allclose(np.asarray(y_mat), np.asarray(y_conv),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_jacobi_solve_converges():
+    from inverse_flow_tpu.ops.inv_conv import inv_conv_solve_jacobi
+
+    c, h, w = 3, 10, 8
+    # small-magnitude weights: the training regime (weight_clamp configs)
+    w_eff = apply_mask(0.05 * jax.random.normal(jax.random.PRNGKey(0),
+                                                (c, c, 3, 3)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, c, h, w))
+    y_exact = inv_conv_solve(x, w_eff)
+    y_jac = inv_conv_solve_jacobi(x, w_eff, iters=12)
+    np.testing.assert_allclose(np.asarray(y_jac), np.asarray(y_exact),
+                               atol=1e-4, rtol=1e-4)
+    # early-stop path
+    y_tol = inv_conv_solve_jacobi(x, w_eff, iters=50, tol=1e-6)
+    np.testing.assert_allclose(np.asarray(y_tol), np.asarray(y_exact),
+                               atol=1e-4, rtol=1e-4)
+    # exactness by nilpotency: iters = C*H*W is exact even for large weights
+    w_big = apply_mask(0.5 * jax.random.normal(jax.random.PRNGKey(2),
+                                               (c, c, 3, 3)))
+    y_exact = inv_conv_solve(x, w_big)
+    y_jac = inv_conv_solve_jacobi(x, w_big, iters=c * h * w)
+    np.testing.assert_allclose(np.asarray(y_jac), np.asarray(y_exact),
+                               atol=2e-2, rtol=2e-2)
