@@ -33,7 +33,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.inv_conv import apply_mask, inv_conv_solve, masked_conv_apply
+from ..ops.inv_conv import (apply_mask, inv_conv_solve,
+                            inv_conv_solve_jacobi, masked_conv_apply)
 from .base import FlowLayer, zeros_ldj
 
 ORDERS = ("TL", "TR", "BL", "BR")
@@ -63,9 +64,15 @@ class InvFlow(FlowLayer):
     kernel_size: Tuple[int, int] = (3, 3)
     order: str = "TL"
     groups: int = 1
+    # 'exact' = blocked triangular solve (custom-VJP parallel backprop);
+    # 'jacobi' = height-independent Neumann iterations (autodiff through
+    # the fixed number of masked convs) — for tall images / fast sampling.
+    solver: str = "exact"
+    jacobi_iters: int = 12
 
     def __post_init__(self):
         assert self.order in ORDERS, f"unknown order: {self.order}"
+        assert self.solver in ("exact", "jacobi"), self.solver
         assert self.channels % self.groups == 0
 
     def init(self, rng, shape):
@@ -86,7 +93,11 @@ class InvFlow(FlowLayer):
     def forward(self, params, x, rng=None):
         ax = _flip_axes(self.order)
         x = jnp.flip(x, ax) if ax else x
-        y = inv_conv_solve(x, self._w_eff(params), self.groups)
+        if self.solver == "jacobi":
+            y = inv_conv_solve_jacobi(x, self._w_eff(params), self.groups,
+                                      iters=self.jacobi_iters)
+        else:
+            y = inv_conv_solve(x, self._w_eff(params), self.groups)
         y = jnp.flip(y, ax) if ax else y
         return y, zeros_ldj(y)
 

@@ -289,3 +289,16 @@ def test_gaussianize_split_and_fastflow():
     assert z.shape[0] == 2 and np.all(np.isfinite(np.asarray(logpx)))
     s = flow.sample(fparams, jax.random.PRNGKey(28), 2)
     assert s.shape == (2, 3, 16, 16)
+
+
+def test_inv_flow_jacobi_solver():
+    from inverse_flow_tpu.layers.inv_flow import InvFlow
+    layer = InvFlow(3, (3, 3), order="TR", solver="jacobi", jacobi_iters=16)
+    params, _ = layer.init(jax.random.PRNGKey(30), (3, 8, 8))
+    # shrink weights into the convergent training regime
+    params = jax.tree_util.tree_map(lambda p: 0.1 * p, params)
+    x = jax.random.normal(jax.random.PRNGKey(31), (2, 3, 8, 8))
+    check_inverse(layer, params, x)
+    # gradients flow through the iterations
+    g = jax.grad(lambda p: jnp.sum(layer.forward(p, x)[0] ** 2))(params)
+    assert np.isfinite(np.asarray(g["w"]).sum())
