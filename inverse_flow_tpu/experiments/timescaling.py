@@ -35,6 +35,11 @@ def run_timescaling(name="if_timescaling", sizes=None, batch_size=128,
         if name.startswith("snf"):
             layers = [SelfNormConv(1, 1, (3, 3), bias=False, padding=1)
                       for _ in range(n_layers)]
+        elif "jacobi" in name:
+            # height-independent Neumann solve (see ops/inv_conv.py)
+            layers = [InvFlowNoPad(1, (2, 2), solver="jacobi",
+                                   jacobi_iters=12)
+                      for _ in range(n_layers)]
         else:
             layers = [InvFlowNoPad(1, (2, 2)) for _ in range(n_layers)]
         flow = Flow(GaussianPrior(shape), layers)
