@@ -1,4 +1,5 @@
 from .loader import ArrayLoader
-from . import mnist, cifar10, imagenet, toy, synthetic
+from . import cifar10, galaxy, imagenet, mnist, synthetic, toy
 
-__all__ = ["ArrayLoader", "mnist", "cifar10", "imagenet", "toy", "synthetic"]
+__all__ = ["ArrayLoader", "cifar10", "galaxy", "imagenet",
+           "mnist", "synthetic", "toy"]
