@@ -179,3 +179,25 @@ def test_jacobi_solve_converges():
     y_jac = inv_conv_solve_jacobi(x, w_big, iters=c * h * w)
     np.testing.assert_allclose(np.asarray(y_jac), np.asarray(y_exact),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_solve_shape_fuzz():
+    """Seeded fuzz over irregular shapes vs the dense oracle — guards the
+    blocked solve's padding/tail logic at awkward H, W, KH, KW."""
+    rng = np.random.RandomState(7)
+    for _ in range(12):
+        c = int(rng.randint(1, 5))
+        h = int(rng.randint(1, 13))
+        w = int(rng.randint(1, 13))
+        kh = int(rng.randint(1, min(4, h) + 1))
+        kw = int(rng.randint(1, min(4, w) + 1))
+        b = int(rng.randint(1, 4))
+        key = jax.random.PRNGKey(rng.randint(1 << 30))
+        w_eff = _random_weff(key, c, kh, kw, scale=0.2)
+        x = jax.random.normal(jax.random.fold_in(key, 1), (b, c, h, w))
+        y = inv_conv_solve(x, w_eff)
+        t = dense_operator(w_eff, c, h, w)
+        y_ref = jnp.linalg.solve(t, x.reshape(b, -1).T).T.reshape(x.shape)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), atol=2e-3, rtol=2e-3,
+            err_msg=f"shape b{b} c{c} {h}x{w} k{kh}x{kw}")
