@@ -307,8 +307,10 @@ def _solve_ungrouped(x, w_eff, r_rows=None):
 
 
 def _scan_blocks_xla(c_all, g, kcw: int):
-    """y_n = c_n - tail @ G^T, tail = last KH-1 rows of y_n. Unrolled for
-    short chains; lax.scan for long ones (timescaling sweeps)."""
+    """y_n = c_n - tail @ G^T, tail = last KH-1 rows of y_n. Unrolled only
+    for very short chains: the TPU backend's compile time grows
+    super-linearly in the unrolled step count (observed: minutes at ~10
+    unrolled steps vs seconds as a scan), while runtime is equal."""
     b, nb, rcw = c_all.shape
 
     def step(tail, c_n):
@@ -316,7 +318,7 @@ def _scan_blocks_xla(c_all, g, kcw: int):
         return y_n[:, rcw - kcw:], y_n
 
     tail0 = jnp.zeros((b, kcw), c_all.dtype)
-    if nb <= 16:
+    if nb <= 4:
         ys, tail = [], tail0
         for n in range(nb):
             tail, y_n = step(tail, c_all[:, n])
