@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.inv_conv import (apply_mask, inv_conv_solve,
-                            inv_conv_solve_jacobi, masked_conv_apply)
+                            inv_conv_solve_jacobi_implicit,
+                            masked_conv_apply)
 from .base import FlowLayer, zeros_ldj
 
 ORDERS = ("TL", "TR", "BL", "BR")
@@ -94,8 +95,8 @@ class InvFlow(FlowLayer):
         ax = _flip_axes(self.order)
         x = jnp.flip(x, ax) if ax else x
         if self.solver == "jacobi":
-            y = inv_conv_solve_jacobi(x, self._w_eff(params), self.groups,
-                                      iters=self.jacobi_iters)
+            y = inv_conv_solve_jacobi_implicit(
+                x, self._w_eff(params), self.groups, self.jacobi_iters)
         else:
             y = inv_conv_solve(x, self._w_eff(params), self.groups)
         y = jnp.flip(y, ax) if ax else y

@@ -201,3 +201,27 @@ def test_solve_shape_fuzz():
         np.testing.assert_allclose(
             np.asarray(y), np.asarray(y_ref), atol=2e-3, rtol=2e-3,
             err_msg=f"shape b{b} c{c} {h}x{w} k{kh}x{kw}")
+
+
+def test_jacobi_implicit_vjp_matches_exact():
+    from inverse_flow_tpu.ops.inv_conv import inv_conv_solve_jacobi_implicit
+
+    c, h, w = 3, 8, 8
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(9), 3)
+    w_raw = 0.05 * jax.random.normal(k1, (c, c, 3, 3))
+    x = jax.random.normal(k2, (2, c, h, w))
+    cot = jax.random.normal(k3, (2, c, h, w))
+
+    def loss_j(x, w_raw):
+        return jnp.sum(inv_conv_solve_jacobi_implicit(
+            x, apply_mask(w_raw), 1, 20) * cot)
+
+    def loss_e(x, w_raw):
+        return jnp.sum(inv_conv_solve(x, apply_mask(w_raw)) * cot)
+
+    gx_j, gw_j = jax.grad(loss_j, argnums=(0, 1))(x, w_raw)
+    gx_e, gw_e = jax.grad(loss_e, argnums=(0, 1))(x, w_raw)
+    np.testing.assert_allclose(np.asarray(gx_j), np.asarray(gx_e),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw_j), np.asarray(gw_e),
+                               atol=1e-4, rtol=1e-3)
