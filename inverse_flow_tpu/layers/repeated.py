@@ -29,6 +29,10 @@ from .base import FlowLayer, zeros_ldj
 class RepeatedBlock(FlowLayer):
     step_layers: Tuple[FlowLayer, ...]
     n_repeats: int
+    # rematerialize each step in the backward pass (jax.checkpoint):
+    # activation memory drops from O(K) to O(1) per block at the cost of
+    # one extra forward — the HBM lever for deep ImageNet-scale stacks.
+    remat: bool = False
 
     def init(self, rng, shape):
         per_repeat = []
@@ -73,6 +77,8 @@ class RepeatedBlock(FlowLayer):
             x, l = self._step_forward(step_params, x)
             return (x, ldj + l), None
 
+        if self.remat:
+            body = jax.checkpoint(body)
         (x, ldj), _ = lax.scan(body, (x, zeros_ldj(x)), params["steps"])
         return x, ldj
 

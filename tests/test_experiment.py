@@ -210,3 +210,23 @@ def test_verbose_per_layer_ldj(tmp_path):
     import json
     rows = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
     assert any(str(r.get("name", "")).startswith("ldj/") for r in rows)
+
+
+def test_remat_block_matches_plain():
+    from inverse_flow_tpu.models.glow import build_glow
+
+    x = jnp.asarray(np.random.RandomState(0).randint(0, 256, (4, 1, 8, 8)),
+                    jnp.float32)
+    outs = []
+    for remat in (False, True):
+        flow = build_glow((1, 8, 8), step_kind="inv_conv_no_pad",
+                          num_blocks=1, block_size=3, coupling_width=8,
+                          actnorm=True, split_prior=False, activation="SLR",
+                          remat=remat)
+        params, _ = flow.init(jax.random.PRNGKey(0), (1, 8, 8))
+        g = jax.grad(lambda p: -jnp.mean(
+            flow.forward(p, x, rng=jax.random.PRNGKey(1))[1]))(params)
+        outs.append(jax.tree_util.tree_leaves(g))
+    for a, b in zip(*outs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
