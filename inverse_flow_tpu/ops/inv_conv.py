@@ -273,9 +273,10 @@ def _solve_ungrouped(x, w_eff, r_rows=None):
     # rows flattened (w, c): (B, H, W, C) -> (B, H, CW)
     x_rows = jnp.transpose(x, (0, 2, 3, 1)).reshape(b, h, cw)
 
-    # NOTE: diagonal blocks are unit-LOWER-triangular for canonically masked
-    # kernels, but unit-UPPER for the channel-transposed kernel used by the
-    # VJP's dx solve — so invert with a general LU (tiny: <= (1024)^2).
+    # NOTE: M0 is unit-LOWER-triangular elementwise for canonically masked
+    # kernels but unit-UPPER for the channel-transposed kernel used by the
+    # VJP's dx solve — so M0 is inverted with a general (tiny, CW^2) LU
+    # rather than a triangular solve.
     if kh == 1:
         # no inter-row dependence: one inverse applied to all rows at once.
         m0_inv = jnp.linalg.inv(mats[0])
