@@ -332,6 +332,8 @@ class Experiment:
 
     def plot_recon(self, x, epoch):
         xhat = self._reconstruct(self.state.params, x, self._next_rng())
+        # FC flows reconstruct to the flat vector; view as the input image
+        xhat = xhat.reshape(x.shape)
         self._save_image_grid(x, f"{epoch}_x.png")
         self._save_image_grid(xhat, f"{epoch}_xrecon.png")
         self._save_image_grid(jnp.abs(x - xhat), f"{epoch}_recon_diff.png")

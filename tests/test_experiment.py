@@ -230,3 +230,26 @@ def test_remat_block_matches_plain():
     for a, b in zip(*outs):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_fc_flow_plot_recon_shapes(tmp_path):
+    """FC flows reconstruct to the flat vector; plot_recon must view it
+    back as the input image (regression: selfnorm_fc_mnist smoke)."""
+    from inverse_flow_tpu.data import synthetic
+    from inverse_flow_tpu.models.glow import build_fc_flow
+
+    flow = build_fc_flow((1, 8, 8), num_layers=2, kind="snf_fc",
+                         activation="Spline", tail_bound=10.0)
+    loaders = synthetic.load_data((1, 8, 8), n_train=32, n_val=16,
+                                  n_test=16, batch_size=16)
+    cfg = ExperimentConfig(name="fc-recon", epochs=1, lr=1e-4,
+                           batch_size=16, save_images=False, n_samples=2,
+                           plot_recon=True, sample_epochs=1, eval_epochs=1,
+                           metrics_path=str(tmp_path / "m.jsonl"),
+                           checkpoint_path=str(tmp_path / "c.pkl"))
+    exp = Experiment(flow, *loaders, cfg)
+    x = jnp.asarray(np.random.RandomState(0).randint(0, 256, (4, 1, 8, 8)),
+                    jnp.float32)
+    exp.maybe_data_init(x)
+    xhat = exp.plot_recon(x, epoch=1)
+    assert xhat.shape == x.shape
