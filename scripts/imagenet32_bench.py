@@ -1,5 +1,8 @@
 """Production-scale benchmark: if_glow_imagenet32 (L=3 x K=48, width 256)
-train step + sampling on the real chip, synthetic data."""
+train-step throughput, synthetic data. Writes results/imagenet32_bench.json.
+Run from the repo root:
+    python scripts/imagenet32_bench.py
+"""
 import json, time
 import jax, jax.numpy as jnp, numpy as np, optax
 from inverse_flow_tpu.models.glow import build_glow

@@ -1,5 +1,8 @@
-"""Full-size if_glow_mnist training demo on the real chip: synthetic data,
-2 epochs, loss curve + timing + memory into results/tpu_train_demo.jsonl."""
+"""Full-size if_glow_mnist training demo: synthetic data, 2 epochs,
+through the complete Experiment harness (train/eval/BPD/sample/checkpoint).
+Writes metrics to results/tpu_train_demo.jsonl. Run from the repo root:
+    python scripts/train_demo.py
+"""
 import json, os, time
 import jax
 from inverse_flow_tpu.experiments import get_experiment
