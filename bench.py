@@ -26,6 +26,9 @@ import numpy as np
 
 def main():
     import jax
+
+    from inverse_flow_tpu import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from inverse_flow_tpu.models.glow import build_glow

@@ -29,6 +29,8 @@ def main(argv=None):
                         help="capture an XLA profiler trace of epoch 1")
     args = parser.parse_args(argv)
 
+    from . import enable_compilation_cache
+    enable_compilation_cache()
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
