@@ -19,13 +19,14 @@ triangular, and solve it **row-blocked**:
   1. Build from the kernel, once per call, dense per-row matrices:
      ``M0``  (CW x CW): within-row dependence (kernel row KH-1),
      ``B_r`` (CW x CW): dependence on row h-r (kernel row KH-1-r).
-  2. Precompute ``M0^{-1}`` (one small LU) and fold it in:
-     ``A_r = M0^{-1} B_r``, ``c = x @ M0^{-T}`` for ALL rows in one large
-     MXU matmul.
-  3. ``lax.scan`` over H rows: ``y_h = c_h - sum_r y_{h-r} @ A_r^T`` — each
-     step ONE dense (B, (KH-1)*CW) @ ((KH-1)*CW, CW) matmul on the MXU.
+  2. Invert the R-row block operator structurally (block-Toeplitz
+     recurrence from ``M0^{-1}``, itself an exact Newton-Schulz iteration —
+     everything is MXU matmuls, no LU anywhere) and fold it in:
+     ``c = x @ T_blk^{-T}`` for ALL blocks in one large MXU matmul.
+  3. Scan over ceil(H/R) row-blocks: ``y_b = c_b - tail_{b-1} @ G^T`` —
+     each step ONE dense (B, (KH-1)*CW) @ ((KH-1)*CW, R*CW) matmul.
 
-Sequential depth is H (vs (H+W-1)*C/4 host-synced launches), and every step
+Sequential depth is ceil(H/R) (vs (H+W-1)*C/4 host-synced launches), every step
 is MXU-dense. The same machinery solves the transposed system for the input
 gradient, so the backward pass needs no impulse-response correlation
 (``dy`` kernel2's O(H^2 W^2) loop) and no 6-D sensitivity tensor (``dw``
@@ -200,6 +201,29 @@ def _tri_block(mats, r_rows: int):
     return t.reshape(r_rows * cw, r_rows * cw)
 
 
+def _tri_inverse(m0):
+    """Exact inverse of an elementwise-triangular matrix by Newton-Schulz
+    — no LU. Factor M0 = D (I + L') with D = diag(M0) and L' strictly
+    triangular (hence nilpotent of index <= n); then iterate
+    X <- X (2I - M X) on M = I + L': after k steps X = sum_{j<2^k} (-L')^j
+    EXACTLY, so ceil(log2(n)) iterations of two (n x n) matmuls finish.
+    jnp.linalg.inv's LU lowers to an O(n)-iteration sequential loop that
+    the TPU backend compiles for minutes; this is pure MXU matmuls and
+    compiles in seconds. Handles unit-LOWER (canonical masked kernel),
+    unit-UPPER (transposed kernel in the VJP), and non-unit diagonals
+    (emerging AR convs) alike."""
+    n = m0.shape[-1]
+    d = jnp.diagonal(m0)
+    m_unit = m0 / d[:, None]                     # I + L', unit diagonal
+    eye2 = 2.0 * jnp.eye(n, dtype=m0.dtype)
+    x = eye2 - m_unit                            # captures order-1 terms
+    steps = max(1, (n - 1).bit_length() - 1)     # 2^(steps+1) >= n
+    for _ in range(steps):
+        x = jnp.matmul(x, eye2 - jnp.matmul(m_unit, x, precision=_HI),
+                       precision=_HI)
+    return x / d[None, :]                        # (I+L')^{-1} D^{-1}
+
+
 def _block_toeplitz_inverse(mats, r_rows: int):
     """T_blk^{-1} without any large LU: T_blk is block-Toeplitz banded, so
     its inverse blocks depend only on the row offset d = i - j:
@@ -211,7 +235,7 @@ def _block_toeplitz_inverse(mats, r_rows: int):
     sequential factorization loop on TPU. Returns the dense (R*CW, R*CW)
     inverse assembled from the D blocks."""
     kh, cw = mats.shape[0], mats.shape[1]
-    m0_inv = jnp.linalg.inv(mats[0])                          # (CW, CW)
+    m0_inv = _tri_inverse(mats[0])                            # (CW, CW)
     d_blocks = [m0_inv]
     for d in range(1, r_rows):
         acc = None
@@ -273,13 +297,12 @@ def _solve_ungrouped(x, w_eff, r_rows=None):
     # rows flattened (w, c): (B, H, W, C) -> (B, H, CW)
     x_rows = jnp.transpose(x, (0, 2, 3, 1)).reshape(b, h, cw)
 
-    # NOTE: M0 is unit-LOWER-triangular elementwise for canonically masked
-    # kernels but unit-UPPER for the channel-transposed kernel used by the
-    # VJP's dx solve — so M0 is inverted with a general (tiny, CW^2) LU
-    # rather than a triangular solve.
+    # NOTE: M0 is LOWER-triangular elementwise for canonically masked
+    # kernels but UPPER for the channel-transposed kernel used by the
+    # VJP's dx solve; _tri_inverse handles both (and non-unit diagonals).
     if kh == 1:
         # no inter-row dependence: one inverse applied to all rows at once.
-        m0_inv = jnp.linalg.inv(mats[0])
+        m0_inv = _tri_inverse(mats[0])
         y_rows = jnp.einsum("bhi,ji->bhj", x_rows, m0_inv, precision=_HI)
     else:
         r = int(r_rows) if r_rows else _choose_block_rows(h, cw, kh)
