@@ -27,6 +27,10 @@ def main(argv=None):
                         help="force the CPU backend")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="capture an XLA profiler trace of epoch 1")
+    parser.add_argument("--resume", nargs="?", const="", default=None,
+                        metavar="CKPT",
+                        help="resume from a checkpoint (default: the "
+                             "experiment's own checkpoint path)")
     args = parser.parse_args(argv)
 
     from . import enable_compilation_cache
@@ -57,15 +61,18 @@ def main(argv=None):
     overrides = {}
     if args.profile_dir:
         overrides["profile_dir"] = args.profile_dir
+
+    if args.smoke:
+        overrides.update(epochs=2, batch_size=16, n_samples=4,
+                         log_interval=5, sample_epochs=1, eval_epochs=1,
+                         save_images=False)
+    # explicit flags beat smoke defaults
     if args.epochs is not None:
         overrides["epochs"] = args.epochs
     if args.batch_size is not None:
         overrides["batch_size"] = args.batch_size
 
     if args.smoke:
-        overrides.update(epochs=2, batch_size=16, n_samples=4,
-                         log_interval=5, sample_epochs=1, eval_epochs=1,
-                         save_images=False)
         flow = _smoke_model(spec)
         from .data import synthetic
         data_size = _smoke_data_size(spec)
@@ -80,6 +87,8 @@ def main(argv=None):
     cfg = cfg.replace(**overrides)
     from .train.experiment import Experiment
     exp = Experiment(flow, *loaders, cfg)
+    if args.resume is not None:
+        exp.load(args.resume or None)
     summary = exp.run()
     print(json.dumps({k: _j(v) for k, v in summary.items()}))
     return 0
