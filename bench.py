@@ -68,7 +68,7 @@ def main():
     # ``inf/train/experiment.py:259-262``, measured the same way would
     # pipeline on TPU).
     step_trials = []
-    for trial in range(2):
+    for trial in range(3):
         n_iter = 60
         t0 = time.perf_counter()
         for i in range(n_iter):
