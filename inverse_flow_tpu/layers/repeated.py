@@ -145,3 +145,15 @@ class RepeatedBlock(FlowLayer):
     @property
     def has_recon_loss(self):
         return any(l.has_recon_loss for l in self.step_layers)
+
+    @property
+    def has_modified_grad(self):
+        """True iff any sublayer has a modified-grad/exact path.
+
+        Without this, ``Flow.forward(exact=True)`` (dispatch at
+        ``sequential.py:61``) would skip this block's ``exact_forward``
+        entirely — the reference's expensive path always recurses into
+        every layer (``flowsequential.py:45``), so a scanned block must
+        advertise its sublayers' flag.
+        """
+        return any(l.has_modified_grad for l in self.step_layers)

@@ -133,6 +133,63 @@ def test_repeated_block_matches_unrolled():
                                atol=1e-3)
 
 
+def test_repeated_block_exact_path_dispatch():
+    """Regression (round-1 VERDICT bug): a scanned block containing
+    SelfNorm sublayers must advertise ``has_modified_grad`` so
+    ``Flow.forward(exact=True)`` routes through its ``exact_forward`` —
+    otherwise the exact log-det of every SelfNorm sublayer is silently
+    dropped from eval BPD. The reference always recurses the expensive
+    path (``flowsequential.py:45``)."""
+    from inverse_flow_tpu.models.glow import build_glow
+
+    kw = dict(step_kind="snf", num_blocks=1, block_size=2,
+              coupling_width=8, actnorm=True, split_prior=False,
+              activation="SLR")
+    flow_s = build_glow((1, 8, 8), scan_blocks=True, **kw)
+    flow_u = build_glow((1, 8, 8), scan_blocks=False, **kw)
+    assert flow_s.layers[5].has_modified_grad
+
+    rng = jax.random.PRNGKey(0)
+    ps, _ = flow_s.init(rng, (1, 8, 8))
+    # perturb away from the near-identity init so SelfNorm's exact
+    # slogdet is decidedly non-zero
+    leaves, treedef = jax.tree_util.tree_flatten(ps)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    ps = jax.tree_util.tree_unflatten(treedef, [
+        l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+        for l, k in zip(leaves, keys)])
+
+    # copy scanned params into the unrolled layout
+    pu, _ = flow_u.init(rng, (1, 8, 8))
+    stacked = ps[5]["steps"]    # 4 preprocess + squeeze, then the block
+    n_sub = len(flow_s.layers[5].step_layers)
+    for k in range(2):
+        for j in range(n_sub):
+            pu[5 + k * n_sub + j] = jax.tree_util.tree_map(
+                lambda s: s[k], stacked[j])
+
+    x = jnp.asarray(np.random.RandomState(0).randint(
+        0, 256, (4, 1, 8, 8)), jnp.float32)
+    lp_exact_s = flow_s.log_prob(ps, x, rng=rng, exact=True)
+    lp_exact_u = flow_u.log_prob(pu, x, rng=rng, exact=True)
+    lp_cheap_s = flow_s.cheap_log_prob(ps, x, rng=rng)
+    # the exact path must actually differ from the cheap one here
+    # (otherwise this test has no power)
+    assert float(jnp.max(jnp.abs(lp_exact_s - lp_cheap_s))) > 1e-3
+    np.testing.assert_allclose(np.asarray(lp_exact_s),
+                               np.asarray(lp_exact_u),
+                               atol=1e-3, rtol=1e-5)
+    # exact inverse dispatch: scanned and unrolled true-inverse agree
+    z = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 4, 4))
+    xs = flow_s.layers[5].exact_inverse(ps[5], z)
+    zu = z
+    for layer, p in zip(reversed(flow_u.layers[5:5 + 2 * n_sub]),
+                        reversed(pu[5:5 + 2 * n_sub])):
+        zu = layer.exact_inverse(p, zu)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(zu),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_orbax_checkpoint_roundtrip(tmp_path):
     import jax.numpy as jnp
     import pytest
