@@ -69,6 +69,20 @@ class FlowLayer:
         """Exact-logdet path (reference ``compute_expensive=True``)."""
         return self.forward(params, x)
 
+    def exact_ldj_correction(self, params, in_shape):
+        """Params-only ``exact ldj - cheap ldj`` for one sample.
+
+        For every modified-grad layer in this framework the *data values*
+        of ``exact_forward`` and ``forward`` coincide (same conv); only the
+        log-det accounting differs, and that difference depends on params
+        alone. Exposing it separately lets eval amortize the expensive
+        dense slogdets once per epoch instead of once per batch (the
+        reference's dirty-flag cache, ``selfnorm.py:241-246``).
+        ``in_shape`` is the layer's input shape without the batch dim.
+        """
+        del params, in_shape
+        return jnp.zeros((), jnp.float32)
+
     def exact_inverse(self, params, z):
         """Exact-inverse path (reference dense Toeplitz inverse)."""
         return self.inverse(params, z)

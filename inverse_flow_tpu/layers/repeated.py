@@ -146,6 +146,30 @@ class RepeatedBlock(FlowLayer):
     def has_recon_loss(self):
         return any(l.has_recon_loss for l in self.step_layers)
 
+    def exact_ldj_correction(self, params, in_shape):
+        """Sum of sublayer corrections over the K scanned repeats.
+
+        vmapped over the stacked step params — K dense slogdets become one
+        batched slogdet per sublayer kind.
+        """
+        corr = jnp.zeros((), jnp.float32)
+        shape = tuple(in_shape)
+        for j, layer in enumerate(self.step_layers):
+            stacked = params["steps"][j]
+            if layer.has_modified_grad:
+                shp = shape
+                per_step = jax.vmap(
+                    lambda p: layer.exact_ldj_correction(p, shp))(stacked)
+                corr = corr + jnp.sum(per_step)
+            # track shape through the step with the k=0 params (sublayers
+            # may reshape internally even though the step is shape-preserving)
+            p0 = jax.tree_util.tree_map(lambda s: s[0], stacked)
+            z = jax.eval_shape(
+                lambda pp, shp=shape, lyr=layer: lyr.forward(
+                    pp, jnp.zeros((1,) + shp, jnp.float32))[0], p0)
+            shape = tuple(z.shape[1:])
+        return corr
+
     @property
     def has_modified_grad(self):
         """True iff any sublayer has a modified-grad/exact path.

@@ -159,6 +159,11 @@ class SelfNormConv(FlowLayer):
         return conv_exact_inverse(z, params["w"], in_shape, self.stride,
                                   self.padding)
 
+    def exact_ldj_correction(self, params, in_shape):
+        """Cheap-path ldj is 0, so the correction IS the exact logdet."""
+        return conv_logdet(params["w"], tuple(in_shape), self.stride,
+                           self.padding).astype(jnp.float32)
+
     # -- layer-local reconstruction loss (selfnorm.py:187-206)
     def recon_loss(self, params, x, sym=False, only_R=False):
         w, r = params["w"], params["r"]
@@ -221,3 +226,10 @@ class SelfNormFC(SelfNormConv):
     def recon_loss(self, params, x, sym=False, only_R=False):
         return super().recon_loss(params, self._to4d(x, self.in_channels),
                                   sym=sym, only_R=only_R)
+
+    def exact_ldj_correction(self, params, in_shape):
+        del in_shape
+        if self.in_channels == self.out_channels:
+            return jnp.linalg.slogdet(
+                params["w"][:, :, 0, 0])[1].astype(jnp.float32)
+        return jnp.zeros((), jnp.float32)

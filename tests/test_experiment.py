@@ -190,6 +190,40 @@ def test_repeated_block_exact_path_dispatch():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_amortized_exact_eval_matches_direct():
+    """eval's amortized path (cheap log_prob + params-only
+    exact_ldj_correction) must equal the direct exact log_prob — for both
+    a scanned selfnorm Glow and an FC selfnorm stack."""
+    from inverse_flow_tpu.models.glow import build_fc_flow, build_glow
+
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.RandomState(0).randint(
+        0, 256, (4, 1, 8, 8)), jnp.float32)
+
+    for flow in (
+        build_glow((1, 8, 8), step_kind="snf", num_blocks=1, block_size=2,
+                   coupling_width=8, actnorm=True, split_prior=False,
+                   activation="SLR", scan_blocks=True),
+        build_fc_flow((1, 8, 8), num_layers=2, kind="snf_fc",
+                      activation="SLR"),
+    ):
+        params, _ = flow.init(rng, (1, 8, 8))
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(5), len(leaves))
+        params = jax.tree_util.tree_unflatten(treedef, [
+            l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+            for l, k in zip(leaves, keys)])
+
+        direct = flow.log_prob(params, x, rng=rng, exact=True)
+        corr = flow.exact_ldj_correction(params, (1, 8, 8))
+        # the correction must be non-trivial at perturbed params
+        assert abs(float(corr)) > 1e-4
+        amortized = flow.cheap_log_prob(params, x, rng=rng) + corr
+        np.testing.assert_allclose(np.asarray(amortized),
+                                   np.asarray(direct),
+                                   atol=1e-3, rtol=1e-5)
+
+
 def test_orbax_checkpoint_roundtrip(tmp_path):
     import jax.numpy as jnp
     import pytest
