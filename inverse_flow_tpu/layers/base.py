@@ -93,6 +93,23 @@ class FlowLayer:
         del x
         return params
 
+    #: set True on layers that carry non-learnable state in their params
+    #: (e.g. ConvExp's power-iteration vector u)
+    has_carry: bool = False
+
+    def update_carry(self, params):
+        """Refresh carried non-learnable state after an optimizer step
+        (the reference updates such buffers in forward-pre-hooks under
+        ``torch.no_grad``, ``spectral.py:208-244``). Default no-op."""
+        return params
+
+    def carry_mask(self, params):
+        """Pytree of Python bools marking carried (non-learnable) leaves;
+        the trainer zeroes optimizer updates and skips weight clamping on
+        them."""
+        import jax
+        return jax.tree_util.tree_map(lambda _: False, params)
+
     def recon_loss(self, params, x, sym=False, only_R=False):
         """Layer-local reconstruction loss; default contributes nothing."""
         del params, sym, only_R

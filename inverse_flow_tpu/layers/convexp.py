@@ -50,7 +50,8 @@ def conv_exp_logdet(kernel, h, w):
 
 
 def spectral_normalize(kernel, u, input_dim, coeff, n_iter=1, eps=1e-12):
-    """One (or more) power iterations; returns (kernel/max(1,sigma/coeff), u').
+    """One (or more) power iterations; returns
+    (kernel/max(1,sigma/coeff), u', sigma).
 
     Mirrors ``spectral.py:68-105``: v = normalize(conv_T(u)),
     u = normalize(conv(v)), sigma = <u, conv(v)>; rescale only when above
@@ -75,7 +76,7 @@ def spectral_normalize(kernel, u, input_dim, coeff, n_iter=1, eps=1e-12):
     wv = conv2d(v.reshape(1, c, h, w), kernel, padding=pad).reshape(-1)
     sigma = jnp.dot(u, wv)
     factor = jnp.maximum(1.0, sigma / coeff)
-    return kernel / (factor + 1e-5), u
+    return kernel / (factor + 1e-5), u, sigma
 
 
 @dataclass(frozen=True)
@@ -114,6 +115,12 @@ class ConvExp(FlowLayer):
         return spectral_normalize(params["kernel"], params["u"],
                                   self.input_size, self.coeff)[0]
 
+    def sigma_estimate(self, params):
+        """Current spectral-norm estimate from the carried u (one
+        refinement iteration, like the reference's ``compute_weight``)."""
+        return spectral_normalize(params["kernel"], params["u"],
+                                  self.input_size, self.coeff)[2]
+
     def forward(self, params, x, rng=None):
         h, w = x.shape[2], x.shape[3]
         kernel = self._kernel(params)
@@ -134,9 +141,27 @@ class ConvExp(FlowLayer):
     def data_init(self, params, x):
         """Refresh the power-iteration vector u from real activations'
         shapes (functional replacement for the buffer warm-up)."""
-        kernel, u = spectral_normalize(params["kernel"], params["u"],
-                                       self.input_size, self.coeff,
-                                       n_iter=10)
+        _, u, _ = spectral_normalize(params["kernel"], params["u"],
+                                     self.input_size, self.coeff,
+                                     n_iter=10)
         out = dict(params)
         out["u"] = u
         return out
+
+    # -- persistent power-iteration state (spectral.py:208-244: the
+    # reference carries u across steps via a forward-pre-hook buffer) -----
+    has_carry = True
+
+    def update_carry(self, params):
+        """One power iteration from the carried u against the CURRENT
+        kernel, so sigma tracks the weights as they drift over training."""
+        _, u, _ = spectral_normalize(params["kernel"], params["u"],
+                                     self.input_size, self.coeff)
+        out = dict(params)
+        out["u"] = u
+        return out
+
+    def carry_mask(self, params):
+        mask = jax.tree_util.tree_map(lambda _: False, params)
+        mask["u"] = True
+        return mask

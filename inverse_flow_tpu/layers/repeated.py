@@ -146,6 +146,30 @@ class RepeatedBlock(FlowLayer):
     def has_recon_loss(self):
         return any(l.has_recon_loss for l in self.step_layers)
 
+    @property
+    def has_carry(self):
+        return any(l.has_carry for l in self.step_layers)
+
+    def update_carry(self, params):
+        if not self.has_carry:
+            return params
+        new = []
+        for j, layer in enumerate(self.step_layers):
+            sp = params["steps"][j]
+            new.append(jax.vmap(layer.update_carry)(sp)
+                       if layer.has_carry else sp)
+        return {"steps": new}
+
+    def carry_mask(self, params):
+        masks = []
+        for j, layer in enumerate(self.step_layers):
+            sp = params["steps"][j]
+            # the mask of one step's slice transfers to the stacked params
+            # (same tree structure; bool leaves are shape-agnostic)
+            masks.append(layer.carry_mask(
+                jax.tree_util.tree_map(lambda s: s[0], sp)))
+        return {"steps": masks}
+
     def exact_ldj_correction(self, params, in_shape):
         """Sum of sublayer corrections over the K scanned repeats.
 

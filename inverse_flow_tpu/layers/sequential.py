@@ -174,6 +174,24 @@ class Flow:
         return total
 
     # ------------------------------------------------------------------
+    @property
+    def has_carry(self):
+        return any(l.has_carry for l in self.layers)
+
+    def update_carry(self, params):
+        """Refresh all layers' carried non-learnable state (e.g. ConvExp's
+        power-iteration u) — the trainer calls this after each optimizer
+        step, replacing the reference's mutating forward-pre-hooks
+        (``spectral.py:208-244``)."""
+        return [l.update_carry(p) if l.has_carry else p
+                for l, p in zip(self.layers, params)]
+
+    def carry_mask(self, params):
+        """Per-leaf bools marking carried state; the trainer zeroes
+        optimizer updates and skips weight clamps on these leaves."""
+        return [l.carry_mask(p) for l, p in zip(self.layers, params)]
+
+    # ------------------------------------------------------------------
     def plot_filters(self, params, save_dir, prefix="filters"):
         """Dump every conv-kernel-shaped parameter as a heatmap-grid PNG
         (``flowsequential.py:139-142`` fan-out to the SelfNorm wandb filter

@@ -133,13 +133,30 @@ class Experiment:
                                        state.recon_weight)
             updates, opt_state = self.tx.update(grads, state.opt_state,
                                                 state.params)
+            if flow.has_carry:
+                # carried non-learnable state (ConvExp u): the optimizer
+                # must not touch it (weight decay would corrupt it)
+                carry = flow.carry_mask(state.params)
+                updates = jax.tree_util.tree_map(
+                    lambda u, m: jnp.zeros_like(u) if m else u,
+                    updates, carry)
             params = jax.tree_util.tree_map(
                 lambda p, u: p + u, state.params, updates)
             if cfg.weight_clamp:
                 # reference "grad_clip": clamp weights (experiment.py:292-296)
-                params = jax.tree_util.tree_map(
-                    lambda p: jnp.clip(p, -cfg.weight_clamp,
-                                       cfg.weight_clamp), params)
+                if flow.has_carry:
+                    params = jax.tree_util.tree_map(
+                        lambda p, m: p if m else jnp.clip(
+                            p, -cfg.weight_clamp, cfg.weight_clamp),
+                        params, carry)
+                else:
+                    params = jax.tree_util.tree_map(
+                        lambda p: jnp.clip(p, -cfg.weight_clamp,
+                                           cfg.weight_clamp), params)
+            if flow.has_carry:
+                # refresh power-iteration state against the NEW weights
+                # (reference: forward-pre-hook, spectral.py:208-244)
+                params = flow.update_carry(params)
             # GECO weight adaptation (selfnorm.py:219-227)
             recon_weight, recon_ema = state.recon_weight, state.recon_ema
             if cfg.recon_loss_lr > 0.0:

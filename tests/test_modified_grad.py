@@ -140,3 +140,66 @@ def test_convexp():
     # against the brute-force jacobian of the truncated forward with a
     # looser tolerance.
     check_logdet(layer, params, x, atol=5e-2, rtol=5e-2)
+
+
+def test_convexp_sigma_tracks_drifting_kernel():
+    """Round-1 VERDICT item 8: the power-iteration u must persist so the
+    sigma estimate tracks the kernel as it drifts over training. Carried
+    u + repeated update_carry must converge sigma to the true operator
+    norm of a NEW (drifted) kernel."""
+    from inverse_flow_tpu.ops.toeplitz import dense_conv_operator
+
+    layer = ConvExp((4, 8, 8))
+    params, _ = layer.init(jax.random.PRNGKey(0), (4, 8, 8))
+    # drift the kernel far from where u was initialized
+    drift = 0.15 * jax.random.normal(jax.random.PRNGKey(9),
+                                     params["kernel"].shape)
+    params = dict(params, kernel=params["kernel"] + drift)
+
+    u0 = np.asarray(params["u"])
+    for _ in range(40):
+        params = layer.update_carry(params)
+    assert not np.allclose(np.asarray(params["u"]), u0)
+    assert abs(float(jnp.linalg.norm(params["u"])) - 1.0) < 1e-4
+
+    sigma = float(layer.sigma_estimate(params))
+    t = np.asarray(dense_conv_operator(params["kernel"], (4, 8, 8),
+                                       padding=1))
+    sigma_true = float(np.linalg.svd(t, compute_uv=False)[0])
+    assert abs(sigma - sigma_true) / sigma_true < 0.02, (sigma, sigma_true)
+
+
+def test_convexp_carry_threaded_through_train_step():
+    """u changes across trainer steps, is never weight-clamped, and gets
+    zero optimizer updates (carry_mask)."""
+    from inverse_flow_tpu.data import synthetic
+    from inverse_flow_tpu.layers import Flow
+    from inverse_flow_tpu.distributions import GaussianPrior
+    from inverse_flow_tpu.models.glow import build_preprocess
+    from inverse_flow_tpu.train.config import ExperimentConfig
+    from inverse_flow_tpu.train.experiment import Experiment
+
+    layers = build_preprocess((1, 8, 8)) + [ConvExp((1, 8, 8))]
+    flow = Flow(GaussianPrior((1, 8, 8)), layers)
+    assert flow.has_carry
+    loaders = synthetic.load_data((1, 8, 8), n_train=32, n_val=16,
+                                  n_test=16, batch_size=16)
+    cfg = ExperimentConfig(name="convexp-carry", epochs=1, lr=1e-3,
+                           batch_size=16, weight_clamp=0.01,
+                           add_recon_grad=False, plot_recon=False,
+                           save_images=False, log_timing=False,
+                           sample_epochs=1000,
+                           metrics_path="/tmp/cec_m.jsonl",
+                           checkpoint_path="/tmp/cec_c.pkl")
+    exp = Experiment(flow, *loaders, cfg)
+    x = next(iter(exp.train_loader))
+    exp.maybe_data_init(x)
+    u_before = np.asarray(exp.state.params[4]["u"])
+    for i in range(3):
+        exp.state, _, _ = exp._train_step(exp.state, exp._prep_batch(x),
+                                          jax.random.PRNGKey(i))
+    u_after = np.asarray(exp.state.params[4]["u"])
+    assert not np.allclose(u_after, u_before)
+    # weight_clamp=0.01 would crush ||u||=1 (entries ~0.125); the carry
+    # mask must have protected it
+    assert abs(float(np.linalg.norm(u_after)) - 1.0) < 1e-4
