@@ -112,6 +112,26 @@ def main():
     except Exception:
         pass
 
+    # analytic FLOPs of the compiled step (XLA cost model) -> achieved
+    # FLOP/s and MFU against the chip's peak (BASELINE.json names
+    # samples/sec/chip as a target metric)
+    step_flops = None
+    try:
+        ca = train_step.lower(params, opt_state, x, rng).compile() \
+                       .cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        step_flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    dev_kind = getattr(jax.devices()[0], "device_kind", "")
+    peak_tflops = {"TPU v5 lite": 197.0, "TPU v5": 459.0,
+                   "TPU v4": 275.0, "TPU v6 lite": 918.0}.get(dev_kind)
+    achieved_tflops = (step_flops / (step_ms * 1e-3) / 1e12
+                       if step_flops else None)
+    mfu_pct = (100.0 * achieved_tflops / peak_tflops
+               if achieved_tflops and peak_tflops else None)
+
     result = {
         "metric": "glow_mnist_train_step",
         "value": round(step_ms, 3),
@@ -121,6 +141,14 @@ def main():
         "extra": {
             "sample_latency_ms_per_image": round(sample_ms, 3),
             "batch_size": batch,
+            "samples_per_sec_per_chip": round(batch / (step_ms * 1e-3), 1),
+            "train_step_gflops": (round(step_flops / 1e9, 3)
+                                  if step_flops else None),
+            "achieved_tflops": (round(achieved_tflops, 3)
+                                if achieved_tflops else None),
+            "mfu_pct_of_bf16_peak": (round(mfu_pct, 3)
+                                     if mfu_pct else None),
+            "peak_tflops_assumed": peak_tflops,
             "device": str(jax.devices()[0]),
         },
     }
