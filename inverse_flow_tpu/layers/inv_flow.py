@@ -121,10 +121,21 @@ class InvFlowNoPad(InvFlow):
 @dataclass(frozen=True)
 class InvFlowUnit(FlowLayer):
     """Four chained InvFlow convs, TL -> TR -> BL -> BR
-    (``inf/layers/inv_flow.py:28-53``)."""
+    (``inf/layers/inv_flow.py:28-53``).
+
+    ``solver='fused'`` runs all four solves in ONE Pallas kernel
+    (``ops/fused_chain.py``: flips absorbed into permutation-conjugated
+    solve matrices, activations VMEM-resident across orders), falling back
+    to the per-layer XLA path when the shape is unsupported. ``'exact'``
+    always composes the per-layer XLA solves.
+    """
 
     channels: int
     kernel_size: Tuple[int, int] = (3, 3)
+    solver: str = "exact"
+
+    def __post_init__(self):
+        assert self.solver in ("exact", "fused"), self.solver
 
     @property
     def convs(self):
@@ -140,6 +151,12 @@ class InvFlowUnit(FlowLayer):
         return {"convs": params}, shape
 
     def forward(self, params, x, rng=None):
+        if self.solver == "fused":
+            from ..ops.fused_chain import fused_chain_solve, fused_viable
+            if fused_viable(x.shape, self.kernel_size, ORDERS):
+                w_effs = tuple(apply_mask(p["w"]) for p in params["convs"])
+                y = fused_chain_solve(x, w_effs, ORDERS)
+                return y, zeros_ldj(y)
         ldj = zeros_ldj(x)
         for conv, p in zip(self.convs, params["convs"]):
             x, l = conv.forward(p, x)

@@ -1,0 +1,101 @@
+"""Fused 4-order chain kernel vs the per-layer XLA composition.
+
+Correctness oracle: :func:`chain_solve_reference` composes the exact
+per-layer solve (dense-oracle-tested in test_inv_conv). The fused kernel
+must match it bit-closely in value AND in gradient (both ops implement the
+TRUE derivative, so autodiff-vs-custom-VJP agreement is meaningful).
+Interpret mode on CPU; the compiled kernel runs on TPU via
+``InvFlowUnit(solver='fused')`` / the bench harness.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from inverse_flow_tpu.ops import fused_chain as fc
+from inverse_flow_tpu.ops.inv_conv import apply_mask
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(fc, "_INTERPRET", True)
+
+
+def _weights(c, kh, kw, n, seed=0, scale=0.1):
+    keys = jax.random.split(jax.random.PRNGKey(seed), n)
+    return tuple(apply_mask(scale * jax.random.normal(k, (c, c, kh, kw)))
+                 for k in keys)
+
+
+ORDERS4 = ("TL", "TR", "BL", "BR")
+
+
+@pytest.mark.parametrize("c,h,w,kh,kw,orders", [
+    (2, 8, 8, 3, 3, ORDERS4),          # generic 4-order unit
+    (4, 14, 14, 3, 3, ORDERS4),        # Glow-MNIST level-1 shape class
+    (3, 6, 5, 2, 3, ORDERS4),          # non-square, kh != kw
+    (2, 9, 4, 3, 2, ("BL", "TR")),     # partial chain, odd height
+    (1, 12, 12, 2, 2, ("TL",)),        # single-order (timescaling class)
+])
+def test_fused_matches_reference(c, h, w, kh, kw, orders):
+    assert fc.fused_viable((5, c, h, w), (kh, kw), orders)
+    w_effs = _weights(c, kh, kw, len(orders))
+    x = jax.random.normal(jax.random.PRNGKey(9), (5, c, h, w), jnp.float32)
+    y_ref = fc.chain_solve_reference(x, w_effs, orders)
+    y = fc.fused_chain_solve(x, w_effs, orders)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fused_vjp_matches_reference_grad():
+    c, h, w = 2, 8, 8
+    w_effs = _weights(c, 3, 3, 4, seed=3)
+    x = jax.random.normal(jax.random.PRNGKey(4), (3, c, h, w), jnp.float32)
+
+    def loss_fused(x, ws):
+        y = fc.fused_chain_solve(x, tuple(ws), ORDERS4)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_ref(x, ws):
+        y = fc.chain_solve_reference(x, tuple(ws), ORDERS4)
+        return jnp.sum(jnp.sin(y))
+
+    gx, gws = jax.grad(loss_fused, argnums=(0, 1))(x, w_effs)
+    gx_r, gws_r = jax.grad(loss_ref, argnums=(0, 1))(x, w_effs)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r),
+                               atol=1e-4, rtol=1e-4)
+    for a, b in zip(gws, gws_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_inverse_roundtrip_through_unit_layer():
+    from inverse_flow_tpu.layers.inv_flow import InvFlowUnit
+
+    layer = InvFlowUnit(4, (3, 3), solver="fused")
+    params, _ = layer.init(jax.random.PRNGKey(0), (4, 8, 8))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8, 8))
+    y, ldj = layer.forward(params, x)
+    np.testing.assert_allclose(np.asarray(ldj), 0.0)
+    x_rt = layer.inverse(params, y)
+    np.testing.assert_allclose(np.asarray(x_rt), np.asarray(x),
+                               atol=1e-4, rtol=1e-4)
+    # and the fused forward equals the per-layer forward
+    y_ref, _ = InvFlowUnit(4, (3, 3)).forward(params, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_viability_gate():
+    # Glow-MNIST level-1 class
+    assert fc.fused_viable((100, 4, 14, 14), (3, 3), ORDERS4)
+    # prime height 7 with KH=3: only divisor >= 2 is 7 == h, so the whole
+    # image is one block -> nothing sequential to fuse, XLA path owns it
+    assert not fc.fused_viable((100, 16, 7, 7), (3, 3), ORDERS4)
+    # kh=1 has no inter-row carry: XLA path owns it
+    assert not fc.fused_viable((2, 4, 8, 8), (1, 3), ORDERS4)
+    # groups unsupported
+    assert not fc.fused_viable((2, 8, 8, 8), (3, 3), ORDERS4, groups=2)
+    # nb == 1 (whole image one block): nothing to fuse
+    assert not fc.fused_viable((2, 2, 3, 3), (3, 3), ORDERS4)
