@@ -5,18 +5,18 @@ from .preprocess import (Dequantization, Normalization, LogitTransform,
 from .actnorm import ActNorm, ActNormFC, ActNormPlainLayer
 from .squeeze import Squeeze, UnSqueeze
 from .conv1x1 import Conv1x1, Conv1x1Householder
-from .coupling import Coupling
+from .coupling import Coupling, BSplineCoupling
 from .splitprior import SplitPrior, SplitPriorFC
 from .activations import (FlowActivationLayer, SmoothLeakyRelu, LeakyRelu,
                           LearnableLeakyRelu, SmoothTanh, SplineActivation,
-                          BSplineActivation, ConditionalBSplineTransformer,
-                          Identity)
+                          BSplineActivation, Identity)
+from .splines import ConditionalBSplineTransformer
 
 __all__ = [
     "FlowLayer", "Flow", "sum_except_batch", "zeros_ldj",
     "Dequantization", "Normalization", "LogitTransform", "SigmoidTransform",
     "ActNorm", "ActNormFC", "ActNormPlainLayer", "Squeeze", "UnSqueeze",
-    "Conv1x1", "Conv1x1Householder", "Coupling",
+    "Conv1x1", "Conv1x1Householder", "Coupling", "BSplineCoupling",
     "SplitPrior", "SplitPriorFC",
     "FlowActivationLayer", "SmoothLeakyRelu", "LeakyRelu",
     "LearnableLeakyRelu", "SmoothTanh", "SplineActivation",

@@ -216,9 +216,12 @@ class BSplineActivation(FlowLayer):
         return self._transform(params, x, inverse=False)[1]
 
 
-# ``ConditionalBSplineTransformer(size)`` in the reference experiments is
-# exactly this elementwise learned-spline use (``if_glow_mnist.py:44``).
-ConditionalBSplineTransformer = BSplineActivation
+# The reference experiments construct ``ConditionalBSplineTransformer(size)``
+# as an elementwise activation (``if_glow_mnist.py:44`` — note that call
+# passes an int where a module is required and cannot actually run);
+# :class:`BSplineActivation` covers that use. The real *conditional*
+# transformer lives in ``layers/splines.py`` (and ``BSplineCoupling``
+# wires it as a coupling transform).
 
 
 @dataclass(frozen=True)

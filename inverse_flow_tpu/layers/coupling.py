@@ -82,3 +82,81 @@ class Coupling(FlowLayer):
         x1, z2, log_s, t = self._get_xs_logs_t(params, z)
         x2 = (z2 - t) * jnp.exp(-log_s)
         return jnp.concatenate([x1, x2], axis=1)
+
+
+@dataclass(frozen=True)
+class BSplineCoupling(FlowLayer):
+    """Coupling whose transform is a per-pixel conditional monotone cubic
+    B-spline (the *conditional* use of the reference's
+    ``ConditionalBSplineTransformer``, ``inf/layers/splines/bspline.py:
+    20-190``, which the reference wires only as an unconditional
+    activation). The first C//2 channels drive a Glow-style zero-init conv
+    net producing ``(n_bins + 3)`` spline coefficients per transformed
+    element; zero init makes the spline the identity, so the layer starts
+    as a no-op exactly like the affine coupling.
+
+    Outside ``[-tail_bound, tail_bound]`` the map is the identity (linear
+    tails, the convention of our RQ-spline); the affine rescale into the
+    spline's [0, 1] domain cancels in the Jacobian.
+    """
+
+    input_size: Tuple[int, int, int]
+    width: int = 512
+    n_bins: int = 8
+    tail_bound: float = 10.0
+    logscale_factor: float = 3.0
+
+    @property
+    def half_channels(self):
+        return self.input_size[0] // 2
+
+    @property
+    def _n_out(self):
+        c2 = self.input_size[0] - self.half_channels
+        return c2 * (self.n_bins + 3)
+
+    def init(self, rng, shape):
+        k1, k2 = jax.random.split(rng)
+        params = {
+            "w1": _kaiming_uniform(k1, (self.width, self.half_channels, 3, 3)),
+            "w2": _kaiming_uniform(k2, (self.width, self.width, 1, 1)),
+            "w3": jnp.zeros((self._n_out, self.width, 3, 3), jnp.float32),
+            "b3": jnp.zeros((self._n_out,), jnp.float32),
+            "logs3": jnp.zeros((self._n_out,), jnp.float32),
+        }
+        return params, shape
+
+    def _net_out(self, params, x1):
+        h = conv2d(x1, params["w1"], padding=1)
+        h = jax.nn.relu(h)
+        h = conv2d(h, params["w2"], padding=0)
+        h = jax.nn.relu(h)
+        h = conv2d(h, params["w3"], padding=1) \
+            + params["b3"].reshape(1, -1, 1, 1)
+        h = h * jnp.exp(params["logs3"] * self.logscale_factor
+                        ).reshape(1, -1, 1, 1)
+        # (B, c2*(K+3), H, W) -> (B, c2, H, W, K+3)
+        b, _, hh, ww = h.shape
+        c2 = self.input_size[0] - self.half_channels
+        return jnp.transpose(
+            h.reshape(b, c2, self.n_bins + 3, hh, ww), (0, 1, 3, 4, 2))
+
+    def _transform(self, params, x, inverse):
+        from .splines import monotone_cubic_b_spline
+        x1 = x[:, : self.half_channels]
+        x2 = x[:, self.half_channels:]
+        coeffs = self._net_out(params, x1)
+        tb = self.tail_bound
+        inside = jnp.logical_and(x2 > -tb, x2 < tb)
+        u = jnp.clip((x2 + tb) / (2 * tb), 0.0, 1.0)
+        out, ld = monotone_cubic_b_spline(u, coeffs, inverse=inverse)
+        z2 = jnp.where(inside, out * 2 * tb - tb, x2)
+        ld = jnp.where(inside, ld, 0.0)
+        z = jnp.concatenate([x1, z2], axis=1)
+        return z, sum_except_batch(ld)
+
+    def forward(self, params, x, rng=None):
+        return self._transform(params, x, inverse=False)
+
+    def inverse(self, params, z, rng=None):
+        return self._transform(params, z, inverse=True)[0]

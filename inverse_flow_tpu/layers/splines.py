@@ -239,3 +239,59 @@ def monotone_cubic_b_spline(x, unnormalized_coeffs, inverse=False,
     out = (i + t) / k
     _, dydx = eval_bin(i, t)
     return out, -jnp.log(jnp.maximum(dydx, 1e-12))
+
+
+# ---------------------------------------------------------------------------
+# Conditional B-spline transformer
+# ---------------------------------------------------------------------------
+
+class ConditionalBSplineTransformer:
+    """Per-input-conditioned monotone cubic B-spline bijection.
+
+    Real equivalent of the reference's ``ConditionalBSplineTransformer``
+    (``inf/layers/splines/bspline.py:20-190``): a conditioner network maps
+    the context to spline parameters that transform ``y`` elementwise,
+    ``[left, right) -> [bottom, top)``. Functional-style: the caller owns
+    the network and passes its OUTPUT (`net_out`, last dim
+    ``y_dim * (n_bins + 3)``) — the analogue of the reference's
+    ``params_net`` module attribute (``bspline.py:69, 120-127``). The
+    reference's circular-boundary option is out of scope (never used by
+    any experiment; its only in-experiment construction,
+    ``if_glow_mnist.py:44``, passes an int where a module is required and
+    cannot run).
+    """
+
+    def __init__(self, y_dim, n_bins=8, left=0.0, right=1.0,
+                 bottom=0.0, top=1.0):
+        self.y_dim = y_dim
+        self.n_bins = n_bins
+        self.left, self.right = left, right
+        self.bottom, self.top = bottom, top
+
+    @property
+    def params_per_dim(self):
+        return self.n_bins + 3
+
+    def _coeffs(self, net_out):
+        shape = net_out.shape[:-1] + (self.y_dim, self.params_per_dim)
+        return net_out.reshape(shape)
+
+    def _apply(self, net_out, y, inverse):
+        lo, hi = (self.bottom, self.top) if inverse else (self.left,
+                                                          self.right)
+        out_lo, out_hi = (self.left, self.right) if inverse else (
+            self.bottom, self.top)
+        u = (y - lo) / (hi - lo)
+        out, ld = monotone_cubic_b_spline(u, self._coeffs(net_out),
+                                          inverse=inverse)
+        z = out * (out_hi - out_lo) + out_lo
+        ld = ld + math.log((out_hi - out_lo) / (hi - lo))
+        return z, ld
+
+    def forward(self, net_out, y):
+        """(z, elementwise ldj) — ``bspline.py:129-143`` semantics."""
+        return self._apply(net_out, y, inverse=False)
+
+    def inverse(self, net_out, z):
+        """Inverse transform; returns (y, elementwise ldj of the inverse)."""
+        return self._apply(net_out, z, inverse=True)
