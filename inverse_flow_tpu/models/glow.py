@@ -64,6 +64,9 @@ def _step_layer(kind: str, c: int, size, **kw):
         return InvFlow(c, kw.get("kernel", (3, 3)), order="TL")
     if kind == "inv_flow_unit":
         return InvFlowUnit(c, kw.get("kernel", (3, 3)))
+    if kind == "inv_flow_unit_fused":
+        # whole TL/TR/BL/BR chain in one Pallas kernel (ops/fused_chain.py)
+        return InvFlowUnit(c, kw.get("kernel", (3, 3)), solver="fused")
     if kind == "inv_conv_no_pad":
         return InvFlowNoPad(c, kw.get("kernel", (2, 2)))
     if kind == "conv1x1":

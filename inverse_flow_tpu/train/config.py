@@ -37,6 +37,7 @@ class ExperimentConfig:
     epochs: int = 10_000
     eval_epochs: int = 1
     eval_train: bool = False
+    eval_mc_samples: int = 1            # dequant-noise draws per eval batch
     max_eval_ex: float = float("inf")
     sample_epochs: int = 10_000
     vis_epochs: int = 10_000

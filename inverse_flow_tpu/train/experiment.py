@@ -176,8 +176,16 @@ class Experiment:
             # dense slogdets are params-only, so they are amortized: cheap
             # per-batch pass + a per-epoch exact_ldj_correction (the
             # reference's dirty-flag cache, selfnorm.py:241-246).
-            logpx = flow.cheap_log_prob(params, x, rng=rng)
-            return jnp.sum(logpx)
+            # eval_mc_samples > 1 averages the dequantization-noise MC
+            # estimate over several draws (the reference uses a single
+            # draw per batch, experiment.py:339-369, which makes val
+            # curves noisy at eval_epochs=1).
+            if cfg.eval_mc_samples <= 1:
+                return jnp.sum(flow.cheap_log_prob(params, x, rng=rng))
+            rngs = jax.random.split(rng, cfg.eval_mc_samples)
+            lp = jax.lax.map(
+                lambda r: flow.cheap_log_prob(params, x, rng=r), rngs)
+            return jnp.sum(jnp.mean(lp, axis=0))
 
         def exact_corr(params):
             return flow.exact_ldj_correction(params, self.data_shape)

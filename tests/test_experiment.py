@@ -49,6 +49,27 @@ def test_eval_and_bpd(tmp_path):
     assert 0 < bpd < 30
 
 
+def test_eval_mc_averaging_reduces_noise(tmp_path):
+    # the n-sample dequantization estimate must agree with the 1-sample
+    # one in expectation and vary less across rng draws
+    exp1 = _tiny_setup(tmp_path)
+    exp1.train_epoch(1)
+
+    def spread(exp, n):
+        vals = []
+        for s in range(4):
+            exp.rng = jax.random.PRNGKey(100 + s)
+            vals.append(exp.eval_epoch(exp.val_loader))
+        return np.mean(vals), np.std(vals)
+
+    m1, s1 = spread(exp1, 1)
+    exp8 = _tiny_setup(tmp_path, eval_mc_samples=8)
+    exp8.state = exp1.state
+    m8, s8 = spread(exp8, 8)
+    assert abs(m1 - m8) < 5.0            # same estimand
+    assert s8 < s1                       # averaged estimate is tighter
+
+
 def test_checkpoint_roundtrip(tmp_path):
     exp = _tiny_setup(tmp_path)
     exp.train_epoch(1)
