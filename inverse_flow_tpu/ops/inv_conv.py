@@ -58,7 +58,6 @@ kernels' hard-coded 4-way channel grouping (``order_stride = C/4``,
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -66,31 +65,15 @@ from jax import lax
 
 _HI = lax.Precision.HIGHEST
 
-# Implementation selector for the sequential block scan:
-#   'auto'   — currently the XLA scan everywhere (see _pallas_ok for the
-#              measured rationale)
-#   'xla'    — lax.scan / unrolled python loop
-#   'pallas' — fused VMEM-resident Pallas kernel (opt-in)
-_IMPL = os.environ.get("IFT_INV_CONV_IMPL", "auto")
-
-
-def set_impl(name: str):
-    """Select the block-scan implementation ('auto' | 'xla' | 'pallas')."""
-    global _IMPL
-    assert name in ("auto", "xla", "pallas"), name
-    _IMPL = name
-
-
-def _pallas_ok() -> bool:
-    # Measured on v5e (chained end-to-end, Glow L=2 K=16 batch 100): the
-    # XLA block scan runs the full train step at 0.73 ms vs 184 ms with
-    # the pallas kernel substituted per layer — at these block counts the
-    # fixed custom-call/layout cost (~3 ms inside a large program)
-    # swamps the recurrence, and even at nb=171 (timescaling shapes) XLA
-    # ties or wins (1.77 vs 3.34 ms standalone). 'auto' therefore always
-    # picks XLA; the kernel stays available for explicit selection and as
-    # the base for deeper fusions (whole 4-order units in one kernel).
-    return _IMPL == "pallas"
+# Implementation note (round-1 -> round-2 history): a per-layer Pallas
+# kernel for the block scan alone was measured LOSING to the XLA scan at
+# every shape (full Glow-MNIST train step 184 ms vs 0.73 ms; 3.34 vs
+# 1.77 ms standalone at nb=171) — per-call overhead swamped the tiny
+# per-layer recurrence, so it was retired. The surviving Pallas path is
+# ``ops/fused_chain.py``: a whole multi-order chain (e.g. an InvFlowUnit)
+# in ONE kernel with the ``c = x @ T^{-T}`` projection fused in, which
+# amortizes the call and wins on-chip (see BASELINE.md "Fused chain vs
+# XLA" table). This module is the XLA solve + VJP that both paths share.
 
 
 # ---------------------------------------------------------------------------
@@ -316,11 +299,8 @@ def _solve_ungrouped(x, w_eff, r_rows=None):
         xb = xp.reshape(b, nb, rcw)
         c_all = jnp.einsum("bni,ji->bnj", xb, t_inv, precision=_HI)
 
-        use_pallas = _pallas_ok() and _pallas_batch_tile(b, nb, rcw, kcw)
         if nb == 1:
             y_blocks = c_all
-        elif use_pallas:
-            y_blocks = _scan_blocks_pallas(c_all, g, kcw)
         else:
             y_blocks = _scan_blocks_xla(c_all, g, kcw)
 
@@ -350,71 +330,6 @@ def _scan_blocks_xla(c_all, g, kcw: int):
         return jnp.stack(ys, axis=1)
     _, y = lax.scan(step, tail0, jnp.transpose(c_all, (1, 0, 2)))
     return jnp.transpose(y, (1, 0, 2))
-
-
-def _pallas_batch_tile(b: int, nb: int, rcw: int, kcw: int):
-    """Largest batch tile that fits VMEM, or None if even the minimum tile
-    would exceed it. Accounts for Pallas double-buffering the in/out
-    blocks: live VMEM ~= 2 buffers x (in + out) tile + G + tail."""
-    budget = 10 * 1024 * 1024 // 4 - rcw * kcw                # floats
-    bt = budget // max(1, 4 * nb * rcw + kcw)
-    if bt < 8:
-        return None
-    if b <= 8:
-        return b
-    return (min(b, bt) // 8) * 8
-
-
-def _scan_blocks_pallas(c_all, g, kcw: int, interpret: bool = False):
-    """The block scan as ONE Pallas kernel: grid over batch tiles, the
-    whole recurrence VMEM-resident (G + running tail + this tile's rows).
-    One kernel owns the full sequential chain — the opposite of the
-    reference's per-diagonal launch+sync pattern
-    (``inv_conv_with_bp_kernel_general.cu:97-126``)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    b, nb, rcw = c_all.shape
-    c_t = jnp.transpose(c_all, (1, 0, 2))                     # (NB, B, RCW)
-    bt = _pallas_batch_tile(b, nb, rcw, kcw)
-    assert bt, "caller must gate on _pallas_batch_tile"
-    # pad the batch to a multiple of the tile so the grid has no
-    # out-of-bounds blocks
-    b_pad = -(-b // bt) * bt
-    if b_pad != b:
-        c_t = jnp.pad(c_t, ((0, 0), (0, b_pad - b), (0, 0)))
-
-    def kernel(c_ref, g_ref, y_ref, hist):
-        hist[:] = jnp.zeros_like(hist)
-
-        def body(n, carry):
-            contrib = lax.dot_general(
-                hist[:], g_ref[:],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            y_n = c_ref[n] - contrib
-            y_ref[n] = y_n
-            hist[:] = y_n[:, rcw - kcw:]
-            return carry
-
-        lax.fori_loop(0, nb, body, 0)
-
-    y = pl.pallas_call(
-        kernel,
-        grid=(b_pad // bt,),
-        in_specs=[
-            pl.BlockSpec((nb, bt, rcw), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rcw, kcw), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((nb, bt, rcw), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, b_pad, rcw), c_all.dtype),
-        scratch_shapes=[pltpu.VMEM((bt, kcw), jnp.float32)],
-        interpret=interpret,
-    )(c_t, g)
-    return jnp.transpose(y[:, :b], (1, 0, 2))
 
 
 def _solve(x, w_eff, groups: int = 1):

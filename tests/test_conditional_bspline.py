@@ -10,6 +10,7 @@ the conditioning input genuinely changes the transform.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from inverse_flow_tpu.layers import BSplineCoupling
 from inverse_flow_tpu.layers.splines import ConditionalBSplineTransformer
@@ -53,6 +54,7 @@ def test_transformer_is_actually_conditional():
     assert float(jnp.max(jnp.abs(z1 - z2))) > 1e-3
 
 
+@pytest.mark.slow
 def test_bspline_coupling_layer():
     layer = BSplineCoupling(IMG, width=16, n_bins=4, tail_bound=3.0)
     rng = jax.random.PRNGKey(0)

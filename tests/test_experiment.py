@@ -7,6 +7,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from inverse_flow_tpu.data import synthetic
 from inverse_flow_tpu.models.glow import build_glow
@@ -31,6 +32,7 @@ def _tiny_setup(tmp_path, **cfg_kw):
     return Experiment(flow, *loaders, cfg)
 
 
+@pytest.mark.slow
 def test_training_decreases_loss(tmp_path):
     exp = _tiny_setup(tmp_path)
     l1 = exp.train_epoch(1)
@@ -88,6 +90,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert np.isfinite(loss)
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single_device(tmp_path):
     assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
     exp_dp = _tiny_setup(tmp_path, data_parallel=True)
@@ -116,6 +119,7 @@ def test_sampling_shapes(tmp_path):
     assert np.all(np.isfinite(np.asarray(x)))
 
 
+@pytest.mark.slow
 def test_repeated_block_matches_unrolled():
     """scan-over-depth must be bit-compatible with the unrolled build."""
     from inverse_flow_tpu.models.glow import build_glow
@@ -154,6 +158,7 @@ def test_repeated_block_matches_unrolled():
                                atol=1e-3)
 
 
+@pytest.mark.slow
 def test_repeated_block_exact_path_dispatch():
     """Regression (round-1 VERDICT bug): a scanned block containing
     SelfNorm sublayers must advertise ``has_modified_grad`` so
@@ -303,6 +308,7 @@ def test_coupling_tp_sharding_matches_replicated():
     np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_verbose_per_layer_ldj(tmp_path):
     from inverse_flow_tpu.data import synthetic
 

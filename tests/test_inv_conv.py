@@ -181,6 +181,7 @@ def test_jacobi_solve_converges():
                                atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_solve_shape_fuzz():
     """Seeded fuzz over irregular shapes vs the dense oracle — guards the
     blocked solve's padding/tail logic at awkward H, W, KH, KW."""

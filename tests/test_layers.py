@@ -263,6 +263,7 @@ def test_gaussianize_roundtrip_and_logdet():
     check_logdet(layer, params, x)
 
 
+@pytest.mark.slow
 def test_gaussianize_split_and_fastflow():
     from inverse_flow_tpu.layers import GaussianizeSplit
     layer = GaussianizeSplit((4, 6, 6))
