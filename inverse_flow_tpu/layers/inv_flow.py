@@ -126,16 +126,20 @@ class InvFlowUnit(FlowLayer):
     ``solver='fused'`` runs all four solves in ONE Pallas kernel
     (``ops/fused_chain.py``: flips absorbed into permutation-conjugated
     solve matrices, activations VMEM-resident across orders), falling back
-    to the per-layer XLA path when the shape is unsupported. ``'exact'``
-    always composes the per-layer XLA solves.
+    to the per-layer XLA path when the shape is unsupported. ``'auto'``
+    (default) picks fused on TPU at viable shapes — measured 1.22x on the
+    full Glow-MNIST train step (BASELINE.md) — and the XLA composition
+    elsewhere (CPU has no compiled Pallas; sharded multi-chip paths should
+    pass ``'exact'``). ``'exact'`` always composes the per-layer XLA
+    solves.
     """
 
     channels: int
     kernel_size: Tuple[int, int] = (3, 3)
-    solver: str = "exact"
+    solver: str = "auto"
 
     def __post_init__(self):
-        assert self.solver in ("exact", "fused"), self.solver
+        assert self.solver in ("auto", "exact", "fused"), self.solver
 
     @property
     def convs(self):
@@ -150,13 +154,22 @@ class InvFlowUnit(FlowLayer):
             params.append(p)
         return {"convs": params}, shape
 
-    def forward(self, params, x, rng=None):
+    def _use_fused(self, x_shape):
+        if self.solver == "exact":
+            return False
+        from ..ops.fused_chain import fused_viable
+        if not fused_viable(x_shape, self.kernel_size, ORDERS):
+            return False
         if self.solver == "fused":
-            from ..ops.fused_chain import fused_chain_solve, fused_viable
-            if fused_viable(x.shape, self.kernel_size, ORDERS):
-                w_effs = tuple(apply_mask(p["w"]) for p in params["convs"])
-                y = fused_chain_solve(x, w_effs, ORDERS)
-                return y, zeros_ldj(y)
+            return True
+        return jax.default_backend() == "tpu"      # 'auto'
+
+    def forward(self, params, x, rng=None):
+        if self._use_fused(x.shape):
+            from ..ops.fused_chain import fused_chain_solve
+            w_effs = tuple(apply_mask(p["w"]) for p in params["convs"])
+            y = fused_chain_solve(x, w_effs, ORDERS)
+            return y, zeros_ldj(y)
         ldj = zeros_ldj(x)
         for conv, p in zip(self.convs, params["convs"]):
             x, l = conv.forward(p, x)
