@@ -26,6 +26,11 @@ class ExperimentConfig:
     # time every Nth batch only: a full host sync per step would serialize
     # the dispatch pipeline against the backend RTT (round-1 VERDICT weak-2)
     timing_interval: int = 10
+    timing_window: int = 16             # steps per timed window (see
+                                        # train_epoch: window timing
+                                        # amortizes the per-call RTT that a
+                                        # single synced step would pay on
+                                        # tunneled/async backends)
     profile_dir: Optional[str] = None   # XLA profiler trace of epoch 1
     verbose: bool = False               # per-layer mean ldj each eval
     log_interval: int = 100

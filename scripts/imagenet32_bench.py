@@ -3,6 +3,9 @@ train-step throughput, synthetic data. Writes results/imagenet32_bench.json.
 Run from the repo root:
     python scripts/imagenet32_bench.py
 """
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
 import json, time
 import jax, jax.numpy as jnp, numpy as np, optax
 from inverse_flow_tpu.models.glow import build_glow

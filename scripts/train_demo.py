@@ -3,6 +3,9 @@ through the complete Experiment harness (train/eval/BPD/sample/checkpoint).
 Writes metrics to results/tpu_train_demo.jsonl. Run from the repo root:
     python scripts/train_demo.py
 """
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
 import json, os, time
 import jax
 from inverse_flow_tpu.experiments import get_experiment
