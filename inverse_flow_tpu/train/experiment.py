@@ -416,17 +416,20 @@ class Experiment:
     def eval_epoch(self, loader):
         total, num = 0.0, 0
         corr = None
+        sums = []
         for x, xb in self._prefetch_batches(loader):
             self.maybe_data_init(x)
             if corr is None:
-                # exact-logdet offset: once per eval epoch (params frozen)
-                corr = float(self._exact_corr(self.state.params))
-            total += float(self._eval_logpx(self.state.params, xb,
-                                            self._next_rng()))
-            total += corr * x.shape[0]
+                # exact-logdet offset: once per eval epoch (params frozen);
+                # kept on device — readbacks are deferred to one flush
+                corr = self._exact_corr(self.state.params)
+            sums.append(self._eval_logpx(self.state.params, xb,
+                                         self._next_rng()))
             num += x.shape[0]
             if num >= self.cfg.max_eval_ex:
                 break
+        total = float(np.sum(jax.device_get(sums))) if sums else 0.0
+        total += (float(corr) if corr is not None else 0.0) * num
         return total / max(1, num)
 
     def _log_per_layer_ldj(self):
