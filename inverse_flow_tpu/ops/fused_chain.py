@@ -267,7 +267,14 @@ def _fused_forward(x, w_effs, orders, interpret=False):
 # Public op with parallel-backprop VJP
 # ---------------------------------------------------------------------------
 
-_INTERPRET = False  # flipped by tests on CPU
+_INTERPRET = False  # force-flipped by tests
+
+
+def _interpret() -> bool:
+    # Compiled Pallas requires a TPU backend; everywhere else (CPU mesh
+    # tests, debugging) the kernel runs in interpret mode — same
+    # semantics, ordinary XLA ops under the hood.
+    return _INTERPRET or jax.default_backend() != "tpu"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -280,13 +287,13 @@ def fused_chain_solve(x, w_effs, orders):
     ``InvFlow`` layers; ldj of the chain is 0 (each factor is unit
     triangular). Caller must gate on :func:`fused_viable`.
     """
-    phases = _fused_forward(x, w_effs, orders, interpret=_INTERPRET)
+    phases = _fused_forward(x, w_effs, orders, interpret=_interpret())
     b, c, h, width = x.shape
     return _from_blocks(phases[-1], c, h, width)
 
 
 def _fused_fwd(x, w_effs, orders):
-    phases = _fused_forward(x, w_effs, orders, interpret=_INTERPRET)
+    phases = _fused_forward(x, w_effs, orders, interpret=_interpret())
     b, c, h, width = x.shape
     y = _from_blocks(phases[-1], c, h, width)
     return y, (phases, tuple(w_effs), x.shape)
@@ -309,7 +316,7 @@ def _fused_bwd(orders, res, gy):
     back_orders = tuple(_COMPLEMENT[o] for o in reversed(orders))
     back_weffs = tuple(_transpose_kernel(w, 1) for w in reversed(w_effs))
     gphases = _fused_forward(gy, back_weffs, back_orders,
-                             interpret=_INTERPRET)
+                             interpret=_interpret())
 
     dws = []
     for l, order in enumerate(orders):

@@ -99,3 +99,34 @@ def test_viability_gate():
     assert not fc.fused_viable((2, 8, 8, 8), (3, 3), ORDERS4, groups=2)
     # nb == 1 (whole image one block): nothing to fuse
     assert not fc.fused_viable((2, 2, 3, 3), (3, 3), ORDERS4)
+
+
+@pytest.mark.slow
+def test_fused_units_inside_scanned_glow():
+    """solver='fused' InvFlowUnits must run inside a RepeatedBlock's
+    lax.scan (the default Glow build) and match the exact composition;
+    on CPU the kernel auto-selects interpret mode (no TPU backend)."""
+    import jax.numpy as jnp
+    from inverse_flow_tpu.models.glow import build_glow
+
+    kw = dict(num_blocks=1, block_size=2, coupling_width=16, actnorm=True,
+              split_prior=False, activation="SLR", scan_blocks=True)
+    flow_f = build_glow((1, 8, 8), step_kind="inv_flow_unit_fused", **kw)
+    flow_x = build_glow((1, 8, 8), step_kind="inv_flow_unit", **kw)
+    rng = jax.random.PRNGKey(0)
+    params, _ = flow_f.init(rng, (1, 8, 8))
+    x = jnp.asarray(np.random.RandomState(0).randint(
+        0, 256, (4, 1, 8, 8)), jnp.float32)
+    params = flow_f.data_init(params, x, rng=rng)
+
+    z_f, lp_f = flow_f.forward(params, x, rng=rng)
+    z_x, lp_x = flow_x.forward(params, x, rng=rng)
+    np.testing.assert_allclose(np.asarray(z_f), np.asarray(z_x),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(lp_f), np.asarray(lp_x),
+                               atol=1e-3, rtol=1e-5)
+    # gradients flow through the fused VJP inside the scan
+    g = jax.grad(lambda p: -jnp.mean(flow_f.forward(p, x, rng=rng)[1]))(
+        params)
+    assert all(bool(jnp.all(jnp.isfinite(l)))
+               for l in jax.tree_util.tree_leaves(g))
