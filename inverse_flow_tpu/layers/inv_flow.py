@@ -157,12 +157,14 @@ class InvFlowUnit(FlowLayer):
     def _use_fused(self, x_shape):
         if self.solver == "exact":
             return False
-        from ..ops.fused_chain import fused_viable
-        if not fused_viable(x_shape, self.kernel_size, ORDERS):
+        from ..ops import fused_chain as fc
+        if not fc.fused_viable(x_shape, self.kernel_size, ORDERS):
             return False
         if self.solver == "fused":
             return True
-        return jax.default_backend() == "tpu"      # 'auto'
+        # 'auto': fused on TPU, unless the harness disabled it for its
+        # jit-sharded data-parallel step (fc.set_auto_disabled)
+        return jax.default_backend() == "tpu" and not fc._AUTO_DISABLED
 
     def forward(self, params, x, rng=None):
         if self._use_fused(x.shape):

@@ -269,6 +269,18 @@ def _fused_forward(x, w_effs, orders, interpret=False):
 
 _INTERPRET = False  # force-flipped by tests
 
+# When True, InvFlowUnit's solver='auto' stops selecting the fused kernel.
+# Set by the Experiment's jit+NamedSharding data-parallel path: a compiled
+# pallas_call under AUTOMATIC partitioning is not validated on multi-chip
+# hardware (under shard_map it is fine — see test_fused_chain's shard_map
+# test — and explicit solver='fused' is always honored).
+_AUTO_DISABLED = False
+
+
+def set_auto_disabled(flag: bool):
+    global _AUTO_DISABLED
+    _AUTO_DISABLED = bool(flag)
+
 
 def _interpret() -> bool:
     # Compiled Pallas requires a TPU backend; everywhere else (CPU mesh

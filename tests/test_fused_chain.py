@@ -130,3 +130,34 @@ def test_fused_units_inside_scanned_glow():
         params)
     assert all(bool(jnp.all(jnp.isfinite(l)))
                for l in jax.tree_util.tree_leaves(g))
+
+
+def test_fused_under_shard_map_batch_dp():
+    """The fused chain composes with explicit SPMD: shard_map over the
+    batch axis of an 8-device mesh must match the unsharded op (the
+    supported route for running the kernel data-parallel; automatic
+    partitioning of a pallas_call is gated off instead — see
+    fused_chain.set_auto_disabled)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    shard_map = jax.shard_map
+
+    devs = np.array(jax.devices()[:8])
+    assert devs.size == 8, "conftest must provide 8 CPU devices"
+    mesh = Mesh(devs, ("data",))
+
+    c, h, w = 2, 8, 8
+    w_effs = _weights(c, 3, 3, 4, seed=5)
+    x = jax.random.normal(jax.random.PRNGKey(6), (16, c, h, w), jnp.float32)
+
+    def solve(xs, ws):
+        return fc.fused_chain_solve(xs, tuple(ws), ORDERS4)
+
+    sharded = jax.jit(shard_map(
+        solve, mesh=mesh,
+        in_specs=(P("data"), P()),
+        out_specs=P("data"),
+        check_vma=False))   # pallas_call does not declare vma yet
+    y_dp = sharded(x, w_effs)
+    y_ref = fc.fused_chain_solve(x, w_effs, ORDERS4)
+    np.testing.assert_allclose(np.asarray(y_dp), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-5)
