@@ -84,13 +84,15 @@ class Experiment:
 
         # ---------------- mesh / sharding --------------------------------
         self.mesh = None
+        from ..ops.fused_chain import set_auto_disabled
         if config.data_parallel and len(jax.devices()) > 1:
             self.mesh = make_mesh()
             # the jit+NamedSharding step auto-partitions the graph;
             # solver='auto' layers must not pick the Pallas kernel there
             # (unvalidated under automatic partitioning on multi-chip)
-            from ..ops.fused_chain import set_auto_disabled
             set_auto_disabled(True)
+        else:
+            set_auto_disabled(False)
 
         # ---------------- state ------------------------------------------
         rng = jax.random.PRNGKey(config.seed)
