@@ -162,9 +162,12 @@ class InvFlowUnit(FlowLayer):
             return False
         if self.solver == "fused":
             return True
-        # 'auto': fused on TPU, unless the harness disabled it for its
-        # jit-sharded data-parallel step (fc.set_auto_disabled)
-        return jax.default_backend() == "tpu" and not fc._AUTO_DISABLED
+        # 'auto': fused on TPU. Data-parallel harness flows are rewritten
+        # to solver='exact' at Experiment init (a compiled pallas_call
+        # under AUTOMATIC partitioning is unvalidated on multi-chip;
+        # shard_map is the supported explicit-SPMD route — see
+        # test_fused_chain's shard_map test).
+        return jax.default_backend() == "tpu"
 
     def forward(self, params, x, rng=None):
         if self._use_fused(x.shape):

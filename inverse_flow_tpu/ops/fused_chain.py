@@ -83,17 +83,23 @@ def choose_block_rows_divisor(h: int, cw: int, kh: int):
 
 
 def _batch_tile(b, n, nb, rcw, kcw):
-    """Largest batch tile fitting the VMEM budget (double-buffered input
-    and output blocks + the per-order matrices + the carry)."""
+    """Batch tile fitting the VMEM budget (double-buffered input and
+    output blocks + the per-order matrices + the carry). When the whole
+    batch fits, use it; otherwise split the batch EVENLY over the minimal
+    number of grid steps (rounded up to the f32 sublane multiple) so the
+    padded tail stays small — a greedy max tile at e.g. b=100/cap=96
+    would run a second grid step that is 92% padding."""
     budget = 10 * 1024 * 1024 // 4                       # floats
     budget -= n * rcw * (rcw + kcw)                      # T_eff + G_eff
     per_b = 2 * nb * rcw * (1 + n) + kcw                 # x, y dbl-buffered
-    bt = budget // max(1, per_b)
-    if bt < 8:
+    cap = budget // max(1, per_b)
+    if cap < 8:
         return None
-    if b <= 8:
+    if b <= cap:
         return b
-    return (min(b, bt) // 8) * 8
+    steps = -(-b // cap)
+    bt = -(-(-(-b // steps)) // 8) * 8                   # even split, ^8
+    return min(bt, cap)
 
 
 def fused_viable(x_shape, kernel_size, orders, groups: int = 1):
@@ -268,19 +274,6 @@ def _fused_forward(x, w_effs, orders, interpret=False):
 # ---------------------------------------------------------------------------
 
 _INTERPRET = False  # force-flipped by tests
-
-# When True, InvFlowUnit's solver='auto' stops selecting the fused kernel.
-# Set by the Experiment's jit+NamedSharding data-parallel path: a compiled
-# pallas_call under AUTOMATIC partitioning is not validated on multi-chip
-# hardware (under shard_map it is fine — see test_fused_chain's shard_map
-# test — and explicit solver='fused' is always honored).
-_AUTO_DISABLED = False
-
-
-def set_auto_disabled(flag: bool):
-    global _AUTO_DISABLED
-    _AUTO_DISABLED = bool(flag)
-
 
 def _interpret() -> bool:
     # Compiled Pallas requires a TPU backend; everywhere else (CPU mesh

@@ -31,6 +31,26 @@ import numpy as np
 
 from ..layers.sequential import Flow
 from ..parallel.mesh import batch_sharding, make_mesh, replicate
+
+
+def _exact_solver_layers(layers):
+    """Rewrite solver='auto' InvFlowUnits to 'exact' (recursing into
+    RepeatedBlock): used by the data-parallel path, whose jit+
+    NamedSharding step must not auto-partition a pallas_call."""
+    import dataclasses
+
+    from ..layers.inv_flow import InvFlowUnit
+    from ..layers.repeated import RepeatedBlock
+
+    out = []
+    for l in layers:
+        if isinstance(l, RepeatedBlock):
+            l = dataclasses.replace(
+                l, step_layers=tuple(_exact_solver_layers(l.step_layers)))
+        elif isinstance(l, InvFlowUnit) and l.solver == "auto":
+            l = dataclasses.replace(l, solver="exact")
+        out.append(l)
+    return out
 from .checkpoint import load_checkpoint, save_checkpoint
 from .config import ExperimentConfig
 from .metrics import MetricsLogger
@@ -84,15 +104,14 @@ class Experiment:
 
         # ---------------- mesh / sharding --------------------------------
         self.mesh = None
-        from ..ops.fused_chain import set_auto_disabled
         if config.data_parallel and len(jax.devices()) > 1:
             self.mesh = make_mesh()
             # the jit+NamedSharding step auto-partitions the graph;
             # solver='auto' layers must not pick the Pallas kernel there
-            # (unvalidated under automatic partitioning on multi-chip)
-            set_auto_disabled(True)
-        else:
-            set_auto_disabled(False)
+            # (unvalidated under automatic partitioning on multi-chip) —
+            # rewrite THIS flow's layers, leaving other Experiments in
+            # the process untouched
+            flow.layers = tuple(_exact_solver_layers(flow.layers))
 
         # ---------------- state ------------------------------------------
         rng = jax.random.PRNGKey(config.seed)
@@ -227,14 +246,19 @@ class Experiment:
         # Image batches are raw 0-255 values (ToTensorNoNorm semantics);
         # uploading them as uint8 and casting on device cuts host->device
         # traffic 4x — the dominant per-step cost on low-bandwidth
-        # (tunneled) links. Non-integral data (synthetic/toys) uploads as
-        # float32 unchanged.
-        if self._u8_upload is None and isinstance(x, np.ndarray):
-            self._u8_upload = bool(
-                x.size and x.min() >= 0 and x.max() <= 255
-                and np.all(x == np.floor(x)))
-        if self._u8_upload and isinstance(x, np.ndarray):
-            x = jnp.asarray(x.astype(np.uint8)).astype(jnp.float32)
+        # (tunneled) links. The integrality check runs PER BATCH (a cheap
+        # host pass) so a later non-integral batch (augmentation, mixed
+        # data) can never be silently truncated; once a batch fails the
+        # check, u8 upload is disabled for the rest of the run.
+        if (self._u8_upload is not False and isinstance(x, np.ndarray)
+                and x.dtype != np.uint8):
+            ok = bool(x.size and x.min() >= 0 and x.max() <= 255
+                      and np.all(x == np.floor(x)))
+            self._u8_upload = True if ok else False
+        if isinstance(x, np.ndarray) and (
+                x.dtype == np.uint8 or self._u8_upload):
+            x = jnp.asarray(np.ascontiguousarray(x, dtype=np.uint8)
+                            ).astype(jnp.float32)
         else:
             x = jnp.asarray(x, jnp.float32)
         if self.mesh is not None:

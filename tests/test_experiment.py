@@ -371,3 +371,26 @@ def test_fc_flow_plot_recon_shapes(tmp_path):
     exp.maybe_data_init(x)
     xhat = exp.plot_recon(x, epoch=1)
     assert xhat.shape == x.shape
+
+
+def test_dp_rewrites_auto_fused_to_exact(tmp_path):
+    """Data-parallel experiments must not let solver='auto' units pick
+    the Pallas kernel under the jit+NamedSharding step (automatic
+    partitioning of a pallas_call is unvalidated on multi-chip)."""
+    from inverse_flow_tpu.layers.inv_flow import InvFlowUnit
+    from inverse_flow_tpu.layers.repeated import RepeatedBlock
+
+    flow = build_glow((1, 8, 8), step_kind="inv_flow_unit", num_blocks=1,
+                      block_size=2, coupling_width=16, actnorm=True,
+                      split_prior=False, activation="SLR")
+    loaders = synthetic.load_data((1, 8, 8), n_train=64, n_val=32,
+                                  n_test=32, batch_size=16)
+    cfg = ExperimentConfig(name="dp-rewrite", epochs=1, batch_size=16,
+                           data_parallel=True, log_timing=False,
+                           save_images=False, plot_recon=False,
+                           checkpoint_path=str(tmp_path / "c.pkl"),
+                           metrics_path=str(tmp_path / "m.jsonl"))
+    Experiment(flow, *loaders, cfg)
+    units = [l for blk in flow.layers if isinstance(blk, RepeatedBlock)
+             for l in blk.step_layers if isinstance(l, InvFlowUnit)]
+    assert units and all(u.solver == "exact" for u in units)

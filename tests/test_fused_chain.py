@@ -135,9 +135,9 @@ def test_fused_units_inside_scanned_glow():
 def test_fused_under_shard_map_batch_dp():
     """The fused chain composes with explicit SPMD: shard_map over the
     batch axis of an 8-device mesh must match the unsharded op (the
-    supported route for running the kernel data-parallel; automatic
-    partitioning of a pallas_call is gated off instead — see
-    fused_chain.set_auto_disabled)."""
+    supported route for running the kernel data-parallel; the harness's
+    jit+NamedSharding DP path instead rewrites solver='auto' units to
+    'exact' at Experiment init)."""
     from jax.sharding import Mesh, PartitionSpec as P
     shard_map = jax.shard_map
 
