@@ -237,6 +237,16 @@ class Experiment:
         self._reconstruct = jax.jit(
             lambda params, x, rng: flow.reconstruct(params, x, rng=rng))
 
+        def sample_chain(params, rng):
+            # n=1 samples chained INSIDE one program (lax.scan): the
+            # per-image device latency without per-call dispatch cost —
+            # the in-harness twin of bench.py's sampling methodology.
+            def body(acc, r):
+                return acc + jnp.sum(flow.sample(params, r, 1)), None
+            acc, _ = jax.lax.scan(body, 0.0, jax.random.split(rng, 8))
+            return acc
+        self._sample_chain = jax.jit(sample_chain)
+
     # ------------------------------------------------------------------
     def _next_rng(self):
         self.rng, sub = jax.random.split(self.rng)
@@ -382,6 +392,19 @@ class Experiment:
                 jax.block_until_ready(l0)
                 ms = (time.perf_counter() - t0) * 1e3 / win_w
                 self.logger.summary("Batch Compute Time Mean", ms)
+                # sampling latency the same way (also pre-readback):
+                # chained calls of an in-program 8-sample scan; latency
+                # is shape-dependent, so untrained params are fine
+                r = self._next_rng()
+                y = self._sample_chain(self.state.params, r)
+                jax.block_until_ready(y)
+                t0 = time.perf_counter()
+                for i in range(4):
+                    r = jax.random.fold_in(r, i)
+                    y = self._sample_chain(self.state.params, r)
+                jax.block_until_ready(y)
+                ms = (time.perf_counter() - t0) * 1e3 / (4 * 8)
+                self.logger.summary("Sample Compute Time Mean", ms)
                 import itertools
                 batches = itertools.chain([first], batches)
 
