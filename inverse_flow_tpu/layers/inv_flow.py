@@ -65,15 +65,18 @@ class InvFlow(FlowLayer):
     kernel_size: Tuple[int, int] = (3, 3)
     order: str = "TL"
     groups: int = 1
-    # 'exact' = blocked triangular solve (custom-VJP parallel backprop);
+    # 'auto'   = fused Pallas solve on TPU at viable shapes, else exact;
+    # 'exact'  = blocked triangular solve (custom-VJP parallel backprop);
+    # 'fused'  = single-order fused Pallas kernel (ops/fused_chain.py);
     # 'jacobi' = height-independent Neumann iterations (autodiff through
     # the fixed number of masked convs) — for tall images / fast sampling.
-    solver: str = "exact"
+    solver: str = "auto"
     jacobi_iters: int = 12
 
     def __post_init__(self):
         assert self.order in ORDERS, f"unknown order: {self.order}"
-        assert self.solver in ("exact", "jacobi"), self.solver
+        assert self.solver in ("auto", "exact", "fused", "jacobi"), \
+            self.solver
         assert self.channels % self.groups == 0
 
     def init(self, rng, shape):
@@ -91,7 +94,24 @@ class InvFlow(FlowLayer):
         wg = jax.vmap(apply_mask)(wg)
         return wg.reshape(self.channels, cg, *self.kernel_size)
 
+    def _use_fused(self, x_shape):
+        if self.solver in ("exact", "jacobi"):
+            return False
+        from ..ops import fused_chain as fc
+        if not fc.fused_viable(x_shape, self.kernel_size, (self.order,),
+                               groups=self.groups):
+            return False
+        if self.solver == "fused":
+            return True
+        return jax.default_backend() == "tpu"      # 'auto'
+
     def forward(self, params, x, rng=None):
+        if self._use_fused(x.shape):
+            # single-order fused kernel: the orientation flip is absorbed
+            # into the conjugated solve matrices, no data flips at all
+            from ..ops.fused_chain import fused_chain_solve
+            y = fused_chain_solve(x, (self._w_eff(params),), (self.order,))
+            return y, zeros_ldj(y)
         ax = _flip_axes(self.order)
         x = jnp.flip(x, ax) if ax else x
         if self.solver == "jacobi":
@@ -143,7 +163,12 @@ class InvFlowUnit(FlowLayer):
 
     @property
     def convs(self):
-        return tuple(InvFlow(self.channels, self.kernel_size, order=o)
+        # 'exact' units stay exact throughout; 'auto'/'fused' units whose
+        # 4-order fusion is not viable still let each conv fuse singly
+        # (e.g. VMEM fits one order's matrices but not four)
+        inner = "exact" if self.solver == "exact" else "auto"
+        return tuple(InvFlow(self.channels, self.kernel_size, order=o,
+                             solver=inner)
                      for o in ORDERS)
 
     def init(self, rng, shape):

@@ -39,7 +39,7 @@ def _exact_solver_layers(layers):
     NamedSharding step must not auto-partition a pallas_call."""
     import dataclasses
 
-    from ..layers.inv_flow import InvFlowUnit
+    from ..layers.inv_flow import InvFlow, InvFlowUnit
     from ..layers.repeated import RepeatedBlock
 
     out = []
@@ -47,7 +47,8 @@ def _exact_solver_layers(layers):
         if isinstance(l, RepeatedBlock):
             l = dataclasses.replace(
                 l, step_layers=tuple(_exact_solver_layers(l.step_layers)))
-        elif isinstance(l, InvFlowUnit) and l.solver == "auto":
+        elif (isinstance(l, (InvFlow, InvFlowUnit))
+              and l.solver == "auto"):
             l = dataclasses.replace(l, solver="exact")
         out.append(l)
     return out
