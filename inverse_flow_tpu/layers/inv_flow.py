@@ -65,12 +65,16 @@ class InvFlow(FlowLayer):
     kernel_size: Tuple[int, int] = (3, 3)
     order: str = "TL"
     groups: int = 1
+    # 'exact'  = blocked triangular solve (custom-VJP parallel backprop) —
+    #            the DEFAULT: measured end-to-end (ImageNet32 L=3xK=48),
+    #            single-order fused solves LOSE to the XLA composition
+    #            (0.950 vs 0.843 ms/batch), unlike whole 4-order units
+    #            which win (InvFlowUnit keeps 'auto');
     # 'auto'   = fused Pallas solve on TPU at viable shapes, else exact;
-    # 'exact'  = blocked triangular solve (custom-VJP parallel backprop);
     # 'fused'  = single-order fused Pallas kernel (ops/fused_chain.py);
     # 'jacobi' = height-independent Neumann iterations (autodiff through
     # the fixed number of masked convs) — for tall images / fast sampling.
-    solver: str = "auto"
+    solver: str = "exact"
     jacobi_iters: int = 12
 
     def __post_init__(self):
@@ -163,12 +167,11 @@ class InvFlowUnit(FlowLayer):
 
     @property
     def convs(self):
-        # 'exact' units stay exact throughout; 'auto'/'fused' units whose
-        # 4-order fusion is not viable still let each conv fuse singly
-        # (e.g. VMEM fits one order's matrices but not four)
-        inner = "exact" if self.solver == "exact" else "auto"
+        # fallback composition is always the exact XLA solve: measured
+        # end-to-end, SINGLE-order fused solves lose to XLA (only the
+        # whole-unit fusion wins)
         return tuple(InvFlow(self.channels, self.kernel_size, order=o,
-                             solver=inner)
+                             solver="exact")
                      for o in ORDERS)
 
     def init(self, rng, shape):
