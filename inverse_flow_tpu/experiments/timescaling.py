@@ -17,7 +17,11 @@ import numpy as np
 
 
 def run_timescaling(name="if_timescaling", sizes=None, batch_size=128,
-                    n_layers=2, iters=20, smoke=False):
+                    n_layers=2, iters=20, smoke=False, tall=False):
+    """``tall=True`` uses (1, s, 1) inputs — the reference's LITERAL
+    Fig. 4 convention (``if_timescaling.py:99``: sizes (1, 32k, 1), k up
+    to 130 i.e. H up to 4160): the sequential wavefront axis isolated.
+    """
     from ..distributions import GaussianPrior
     from ..layers import Flow, SelfNormConv
     from ..layers.inv_flow import InvFlowNoPad
@@ -31,7 +35,7 @@ def run_timescaling(name="if_timescaling", sizes=None, batch_size=128,
     out_path = f"./{name}_timescale.jsonl"
     results = []
     for s in sizes:
-        shape = (1, s, s)
+        shape = (1, s, 1) if tall else (1, s, s)
         if name.startswith("snf"):
             layers = [SelfNormConv(1, 1, (3, 3), bias=False, padding=1)
                       for _ in range(n_layers)]
