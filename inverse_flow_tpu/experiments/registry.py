@@ -339,3 +339,17 @@ _register(ExperimentSpec(
     ExperimentConfig(name="SNF timescaling", lr=1e-3, batch_size=128,
                      modified_grad=True, add_recon_grad=False,
                      scheduler_name="None")))
+
+# tall-image variants: the reference's LITERAL Fig. 4 convention,
+# (1, H, 1) inputs with H up to 4160 (``if_timescaling.py:99``) —
+# isolates the sequential wavefront axis
+for _tname, _tlabel in (("if_tall_timescaling", "IF tall timescaling"),
+                        ("if_jacobi_tall_timescaling",
+                         "IF jacobi tall timescaling")):
+    _register(ExperimentSpec(
+        _tname,
+        lambda: None,
+        synthetic.load_data,
+        ExperimentConfig(name=_tlabel, lr=1e-5, batch_size=128,
+                         modified_grad=True, add_recon_grad=False,
+                         scheduler_name="None")))

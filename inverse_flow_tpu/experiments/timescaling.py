@@ -26,8 +26,12 @@ def run_timescaling(name="if_timescaling", sizes=None, batch_size=128,
     from ..layers import Flow, SelfNormConv
     from ..layers.inv_flow import InvFlowNoPad
 
+    tall = tall or ("tall" in name)     # cli reachability: --name *_tall_*
     if sizes is None:
-        sizes = [8, 16, 32, 64, 128] if not smoke else [8, 16]
+        if tall:
+            sizes = [32, 128, 512, 2048, 4160] if not smoke else [32, 64]
+        else:
+            sizes = [8, 16, 32, 64, 128] if not smoke else [8, 16]
     if smoke:
         iters = 3
         batch_size = 16
@@ -76,7 +80,7 @@ def run_timescaling(name="if_timescaling", sizes=None, batch_size=128,
                 l, g = loss_grad(params, x + 0.0 * l)
             jax.block_until_ready(l)
             trials.append((time.perf_counter() - t0) / iters * 1e3)
-        rec = {"size": s, "batch": batch_size,
+        rec = {"size": s, "shape": list(shape), "batch": batch_size,
                "ms_mean": float(np.mean(trials)),
                "ms_std": float(np.std(trials)),
                "ms_best": float(min(trials))}

@@ -99,15 +99,13 @@ class InvFlow(FlowLayer):
         return wg.reshape(self.channels, cg, *self.kernel_size)
 
     def _use_fused(self, x_shape):
-        if self.solver in ("exact", "jacobi"):
-            return False
-        from ..ops import fused_chain as fc
-        if not fc.fused_viable(x_shape, self.kernel_size, (self.order,),
-                               groups=self.groups):
-            return False
-        if self.solver == "fused":
-            return True
-        return jax.default_backend() == "tpu"      # 'auto'
+        # NOTE: 'fused' at a non-viable shape silently falls back to the
+        # exact XLA solve (same semantics) — the gate is a shape
+        # property, not an error; check fused_viable() to know which
+        # path a given shape takes.
+        from ..ops.fused_chain import select_fused
+        return select_fused(self.solver, x_shape, self.kernel_size,
+                            (self.order,), groups=self.groups)
 
     def forward(self, params, x, rng=None):
         if self._use_fused(x.shape):
@@ -183,19 +181,8 @@ class InvFlowUnit(FlowLayer):
         return {"convs": params}, shape
 
     def _use_fused(self, x_shape):
-        if self.solver == "exact":
-            return False
-        from ..ops import fused_chain as fc
-        if not fc.fused_viable(x_shape, self.kernel_size, ORDERS):
-            return False
-        if self.solver == "fused":
-            return True
-        # 'auto': fused on TPU. Data-parallel harness flows are rewritten
-        # to solver='exact' at Experiment init (a compiled pallas_call
-        # under AUTOMATIC partitioning is unvalidated on multi-chip;
-        # shard_map is the supported explicit-SPMD route — see
-        # test_fused_chain's shard_map test).
-        return jax.default_backend() == "tpu"
+        from ..ops.fused_chain import select_fused
+        return select_fused(self.solver, x_shape, self.kernel_size, ORDERS)
 
     def forward(self, params, x, rng=None):
         if self._use_fused(x.shape):

@@ -354,3 +354,19 @@ def chain_solve_reference(x, w_effs, orders):
         x = inv_conv_solve(x, w, 1)
         x = jnp.flip(x, ax) if ax else x
     return x
+
+
+def select_fused(solver, x_shape, kernel_size, orders, groups=1):
+    """Shared solver-selection policy for InvFlow / InvFlowUnit:
+    'exact'/'jacobi' never fuse; 'fused' fuses whenever the shape is
+    viable (silently falling back to the exact XLA solve otherwise — the
+    gate is a shape property, not an error); 'auto' additionally requires
+    a TPU default backend. Data-parallel harness flows are rewritten to
+    'exact' before tracing (experiment._exact_solver_layers)."""
+    if solver in ("exact", "jacobi"):
+        return False
+    if not fused_viable(x_shape, kernel_size, orders, groups=groups):
+        return False
+    if solver == "fused":
+        return True
+    return jax.default_backend() == "tpu"          # 'auto'

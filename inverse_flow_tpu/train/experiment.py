@@ -48,7 +48,10 @@ def _exact_solver_layers(layers):
             l = dataclasses.replace(
                 l, step_layers=tuple(_exact_solver_layers(l.step_layers)))
         elif (isinstance(l, (InvFlow, InvFlowUnit))
-              and l.solver == "auto"):
+              and l.solver in ("auto", "fused")):
+            # 'fused' too: an explicit request cannot be honored safely
+            # under automatic partitioning; shard_map is the supported
+            # multi-chip route for the kernel
             l = dataclasses.replace(l, solver="exact")
         out.append(l)
     return out
