@@ -66,10 +66,12 @@ class InvFlow(FlowLayer):
     order: str = "TL"
     groups: int = 1
     # 'exact'  = blocked triangular solve (custom-VJP parallel backprop) —
-    #            the DEFAULT: measured end-to-end (ImageNet32 L=3xK=48),
-    #            single-order fused solves LOSE to the XLA composition
-    #            (0.950 vs 0.843 ms/batch), unlike whole 4-order units
-    #            which win (InvFlowUnit keeps 'auto');
+    #            the DEFAULT: two end-to-end ImageNet32 (L=3xK=48)
+    #            sessions put single-order fused at -13% and +48% vs the
+    #            XLA composition — inside the measurement environment's
+    #            session variance band, so the conservative,
+    #            sharding-safe path stays default (whole 4-order units
+    #            win consistently; InvFlowUnit keeps 'auto');
     # 'auto'   = fused Pallas solve on TPU at viable shapes, else exact;
     # 'fused'  = single-order fused Pallas kernel (ops/fused_chain.py);
     # 'jacobi' = height-independent Neumann iterations (autodiff through
