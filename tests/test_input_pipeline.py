@@ -1,0 +1,78 @@
+"""Input-pipeline units: uint8 upload gate, prefetch ordering, fused
+batch tiling — the readback/traffic machinery added in round 2."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from inverse_flow_tpu.data import synthetic
+from inverse_flow_tpu.models.glow import build_glow
+from inverse_flow_tpu.ops.fused_chain import _batch_tile
+from inverse_flow_tpu.train.config import ExperimentConfig
+from inverse_flow_tpu.train.experiment import Experiment
+
+
+def _exp(tmp_path):
+    flow = build_glow((1, 8, 8), step_kind="conv1x1", num_blocks=1,
+                      block_size=1, coupling_width=8, actnorm=False,
+                      split_prior=False, activation=None)
+    loaders = synthetic.load_data((1, 8, 8), n_train=32, n_val=16,
+                                  n_test=16, batch_size=8)
+    cfg = ExperimentConfig(name="pipe", epochs=1, batch_size=8,
+                           log_timing=False, save_images=False,
+                           plot_recon=False,
+                           checkpoint_path=str(tmp_path / "c.pkl"),
+                           metrics_path=str(tmp_path / "m.jsonl"))
+    return Experiment(flow, *loaders, cfg)
+
+
+def test_u8_gate_integral_then_fractional(tmp_path):
+    exp = _exp(tmp_path)
+    ints = np.arange(64, dtype=np.float32).reshape(1, 1, 8, 8)
+    xb = exp._prep_batch(ints)
+    assert exp._u8_upload is True
+    np.testing.assert_allclose(np.asarray(xb), ints)
+    # a later non-integral batch must NOT be truncated through uint8
+    frac = ints + 0.5
+    xb2 = exp._prep_batch(frac)
+    assert exp._u8_upload is False
+    np.testing.assert_allclose(np.asarray(xb2), frac)
+    # and stays off for subsequent integral batches (cheap fast path)
+    xb3 = exp._prep_batch(ints)
+    np.testing.assert_allclose(np.asarray(xb3), ints)
+
+
+def test_u8_gate_rejects_out_of_range(tmp_path):
+    exp = _exp(tmp_path)
+    neg = np.array([[-1.0, 3.0]], np.float32).reshape(1, 1, 1, 2)
+    xb = exp._prep_batch(neg)
+    assert exp._u8_upload is False
+    np.testing.assert_allclose(np.asarray(xb), np.asarray(neg))
+
+
+def test_prefetch_preserves_order_and_count(tmp_path):
+    exp = _exp(tmp_path)
+    batches = [np.full((2, 1, 8, 8), float(i), np.float32)
+               for i in range(5)]
+    out = list(exp._prefetch_batches(batches))
+    assert len(out) == 5
+    for i, (x, xb) in enumerate(out):
+        assert float(x[0, 0, 0, 0]) == float(i)
+        assert float(np.asarray(xb)[0, 0, 0, 0]) == float(i)
+
+
+def test_batch_tile_even_split():
+    # whole batch fits -> use it exactly (no multiple-of-8 truncation)
+    assert _batch_tile(100, 4, 2, 392, 112) == 100
+    # batch exceeds cap -> even split rounded to sublane multiple,
+    # never exceeding the cap, and pad waste stays < one tile
+    n, nb, rcw, kcw = 4, 2, 392, 112
+    bt = _batch_tile(1000, n, nb, rcw, kcw)
+    assert bt is not None and bt % 8 == 0
+    budget = 10 * 1024 * 1024 // 4 - n * rcw * (rcw + kcw)
+    cap = budget // (2 * nb * rcw * (1 + n) + kcw)
+    assert bt <= cap
+    steps = -(-1000 // bt)
+    assert steps * bt - 1000 < bt            # pad < one tile
+    # impossible budgets refuse
+    assert _batch_tile(100, 4, 64, 4096, 2048) is None
