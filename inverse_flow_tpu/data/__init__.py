@@ -1,5 +1,5 @@
 from .loader import ArrayLoader
-from . import cifar10, galaxy, imagenet, mnist, synthetic, toy
+from . import cifar10, digits, galaxy, imagenet, mnist, synthetic, toy
 
 __all__ = ["ArrayLoader", "cifar10", "galaxy", "imagenet",
-           "mnist", "synthetic", "toy"]
+           "digits", "mnist", "synthetic", "toy"]

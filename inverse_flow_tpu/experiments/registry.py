@@ -15,7 +15,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Optional
 
-from ..data import cifar10, imagenet, mnist, synthetic
+from ..data import cifar10, digits, imagenet, mnist, synthetic
 from ..models.glow import build_cnn_flow, build_fc_flow, build_glow
 from ..train.config import ExperimentConfig
 
@@ -353,3 +353,34 @@ for _tname, _tlabel in (("if_tall_timescaling", "IF tall timescaling"),
         ExperimentConfig(name=_tlabel, lr=1e-5, batch_size=128,
                          modified_grad=True, add_recon_grad=False,
                          scheduler_name="None")))
+
+# ---------------------------------------------------------------------------
+# Real-data runs on the EMBEDDED real digits set (data/digits.py: 1,797
+# real UCI handwritten digit scans checked into the package) — the only
+# real image data available in the egress-free build container. These
+# produce the in-repo real-data bits/dim trajectories
+# (results/real_digits_bpd.jsonl); the MNIST/CIFAR entries above bind to
+# the real datasets automatically when IDX/pickle files are present.
+# ---------------------------------------------------------------------------
+DIGITS = (1, 8, 8)
+
+_register(ExperimentSpec(
+    "real_digits_fc",
+    lambda: build_fc_flow(DIGITS, num_layers=2, kind="inv_conv_no_pad",
+                          activation="Spline", tail_bound=10.0),
+    digits.load_data,
+    ExperimentConfig(name="2L IF FC RealDigits", lr=1e-4, batch_size=100,
+                     modified_grad=False, add_recon_grad=False,
+                     warmup_epochs=2, recon_loss_weight=0.0,
+                     scheduler_name="None")))
+
+_register(ExperimentSpec(
+    "real_digits_glow",
+    lambda: build_glow(DIGITS, step_kind="inv_flow_unit", num_blocks=2,
+                       block_size=4, coupling_width=64, actnorm=True,
+                       split_prior=True, activation="SLR"),
+    digits.load_data,
+    ExperimentConfig(name="IF Glow RealDigits", lr=1e-3, batch_size=100,
+                     epochs=30, warmup_epochs=2, modified_grad=True,
+                     add_recon_grad=False, recon_loss_weight=0.0,
+                     scheduler_name="None", eval_train=False)))

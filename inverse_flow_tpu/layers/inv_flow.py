@@ -74,10 +74,13 @@ class InvFlow(FlowLayer):
     #            win consistently; InvFlowUnit keeps 'auto');
     # 'auto'   = fused Pallas solve on TPU at viable shapes, else exact;
     # 'fused'  = single-order fused Pallas kernel (ops/fused_chain.py);
-    # 'jacobi' = height-independent Neumann iterations (autodiff through
-    # the fixed number of masked convs) — for tall images / fast sampling.
+    # 'jacobi' = height-independent Neumann iterations (implicit-VJP,
+    # O(1) memory) — for tall images / fast sampling. ``jacobi_tol > 0``
+    # stops early once max|residual| < tol (``jacobi_iters`` becomes an
+    # upper bound).
     solver: str = "exact"
     jacobi_iters: int = 12
+    jacobi_tol: float = 0.0
 
     def __post_init__(self):
         assert self.order in ORDERS, f"unknown order: {self.order}"
@@ -112,15 +115,19 @@ class InvFlow(FlowLayer):
     def forward(self, params, x, rng=None):
         if self._use_fused(x.shape):
             # single-order fused kernel: the orientation flip is absorbed
-            # into the conjugated solve matrices, no data flips at all
-            from ..ops.fused_chain import fused_chain_solve
-            y = fused_chain_solve(x, (self._w_eff(params),), (self.order,))
+            # into the conjugated solve matrices, no data flips at all;
+            # grouped kernels run via dense block-diagonal expansion
+            from ..ops.fused_chain import (expand_grouped_kernel,
+                                           fused_chain_solve)
+            w = expand_grouped_kernel(self._w_eff(params), self.groups)
+            y = fused_chain_solve(x, (w,), (self.order,))
             return y, zeros_ldj(y)
         ax = _flip_axes(self.order)
         x = jnp.flip(x, ax) if ax else x
         if self.solver == "jacobi":
             y = inv_conv_solve_jacobi_implicit(
-                x, self._w_eff(params), self.groups, self.jacobi_iters)
+                x, self._w_eff(params), self.groups, self.jacobi_iters,
+                self.jacobi_tol)
         else:
             y = inv_conv_solve(x, self._w_eff(params), self.groups)
         y = jnp.flip(y, ax) if ax else y

@@ -76,9 +76,15 @@ class FincFlowUnit(FlowLayer):
 
     channels: int
     kernel_size: Tuple[int, int] = (3, 3)
+    # sampling-direction solver: 'exact' (default — grouped blocked XLA
+    # solve) or 'fused'/'auto' (grouped fused Pallas solve via dense
+    # block-diagonal expansion — the TPU twin of the level-2 all-orders-
+    # one-launch CUDA kernel, cinc_cuda_kernel_level2.cu:97-99).
+    solver: str = "exact"
 
     def __post_init__(self):
         assert self.channels % 4 == 0, "channels must be a multiple of 4"
+        assert self.solver in ("exact", "fused", "auto"), self.solver
 
     @property
     def chunk(self):
@@ -118,5 +124,14 @@ class FincFlowUnit(FlowLayer):
 
     def inverse(self, params, z, rng=None):
         zc = self._canonical(z)
-        xc = inv_conv_solve(zc, self._w_eff(params), 4)
+        from ..ops.fused_chain import select_fused
+        if select_fused(self.solver, zc.shape, self.kernel_size, ("TL",),
+                        groups=4):
+            from ..ops.fused_chain import (expand_grouped_kernel,
+                                           fused_chain_solve)
+            xc = fused_chain_solve(
+                zc, (expand_grouped_kernel(self._w_eff(params), 4),),
+                ("TL",))
+        else:
+            xc = inv_conv_solve(zc, self._w_eff(params), 4)
         return self._uncanonical(xc)

@@ -69,17 +69,27 @@ _COMPLEMENT = {"TL": "BR", "TR": "BL", "BL": "TR", "BR": "TL"}
 # Shape policy
 # ---------------------------------------------------------------------------
 
-def choose_block_rows_divisor(h: int, cw: int, kh: int):
-    """Rows per block for the fused kernel: must divide H exactly (the
-    H-flip absorption aligns blocks of the reversed row order with blocks
-    of the original), reach back at most one block (R >= KH-1), and keep
-    the dense per-block operator MXU-sized. Returns None if impossible."""
-    cands = [r for r in range(max(kh - 1, 1), h) if h % r == 0]
+def choose_block_rows_fused(h: int, cw: int, kh: int):
+    """(rows per block, zero-padded tail rows) for the fused kernel.
+
+    H need not be an exact multiple of R: the tail of the last block is
+    zero-padded to the block boundary and masked back to zero in-kernel
+    after every phase, which keeps the padded system exactly equivalent to
+    the unpadded one in BOTH scan directions (top-down orders never read
+    the pad; bottom-up orders read it as the zeros it must be). Exact
+    divisors are still preferred (no mask op); R must reach back at most
+    one block (R >= KH-1) and keep the dense per-block operator MXU-sized.
+    Returns None when no usable block size exists (then nb would be 1 and
+    the plain XLA einsum path owns the shape anyway)."""
+    cands = list(range(max(kh - 1, 1), h))      # r < h  =>  nb >= 2
     if not cands:
-        return h if h >= kh - 1 else None   # nb == 1; gate rejects anyway
+        return None
     fitting = [r for r in cands if r * cw <= 1024]
     pool = fitting or [min(cands)]
-    return min(pool, key=lambda r: abs(r * cw - 512))
+    divisors = [r for r in pool if h % r == 0]
+    r = min(divisors or pool,
+            key=lambda r: (abs(r * cw - 512), (-h) % r))
+    return r, (-h) % r
 
 
 def _batch_tile(b, n, nb, rcw, kcw):
@@ -103,22 +113,24 @@ def _batch_tile(b, n, nb, rcw, kcw):
 
 
 def fused_viable(x_shape, kernel_size, orders, groups: int = 1):
-    """True iff the fused kernel supports this (shape, kernel, orders)."""
+    """True iff the fused kernel supports this (shape, kernel, orders).
+
+    Grouped kernels are handled by dense block-diagonal expansion
+    (:func:`expand_grouped_kernel`) — the level-2 all-orders-one-launch
+    class (``cinc_cuda_kernel_level2.cu:97-99``) — so ``groups`` only
+    needs to divide the channel count."""
     b, c, h, w = x_shape
     kh, kw = kernel_size
-    if groups != 1 or kh < 2:
+    if kh < 2 or c % max(groups, 1) != 0:
         return False
     if any(o not in ORDER_FLAGS for o in orders):
         return False
     cw = c * w
-    r = choose_block_rows_divisor(h, cw, kh)
-    if r is None or r * cw > 2048:
+    rp = choose_block_rows_fused(h, cw, kh)
+    if rp is None or rp[0] * cw > 2048:
         return False
-    nb = h // r
-    if nb == 1:
-        # no inter-block carry; the plain XLA einsum path is already one
-        # fused matmul — nothing for the kernel to win.
-        return False
+    r, pad = rp
+    nb = -(-h // r)
     return _batch_tile(b, len(orders), nb, r * cw, (kh - 1) * cw) is not None
 
 
@@ -188,15 +200,22 @@ def _from_blocks(yb, c, h, width):
 # The kernel
 # ---------------------------------------------------------------------------
 
-def _chain_kernel(dirs, nb, bt, rcw, kcw):
+def _chain_kernel(dirs, nb, bt, rcw, kcw, pad_cw=0):
     """Static-unrolled over orders; each order is a fori_loop over row
     blocks with the KH-1-row carry in registers. Phase o reads phase o-1's
     output in place (VMEM), so the whole chain never touches HBM between
     orders — the opposite of the reference's per-diagonal launch+sync
-    (``inv_conv_with_bp_kernel_general.cu:97-126``)."""
+    (``inv_conv_with_bp_kernel_general.cu:97-126``).
+
+    ``pad_cw > 0``: the last ``pad_cw`` columns of the LAST block are
+    zero-padded tail rows (non-divisor heights). They are re-zeroed after
+    every phase so the next bottom-up phase reads the exact zeros the
+    padded system requires; top-down phases never read them."""
     n = len(dirs)
 
     def kernel(x_ref, t_ref, g_ref, y_ref):
+        keep = (lax.broadcasted_iota(jnp.int32, (1, rcw), 1)
+                < rcw - pad_cw) if pad_cw else None
         for o in range(n):
             fh = dirs[o]
 
@@ -213,6 +232,8 @@ def _chain_kernel(dirs, nb, bt, rcw, kcw):
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=_HI)
+                if pad_cw:
+                    v = jnp.where(jnp.logical_or(m != nb - 1, keep), v, 0.0)
                 y_ref[o, m] = v
                 return v[:, :kcw] if fh else v[:, rcw - kcw:]
 
@@ -221,7 +242,8 @@ def _chain_kernel(dirs, nb, bt, rcw, kcw):
     return kernel
 
 
-def _fused_phases_raw(xb, t_all, g_all, dirs, kcw, interpret=False):
+def _fused_phases_raw(xb, t_all, g_all, dirs, kcw, pad_cw=0,
+                      interpret=False):
     """Run the chain; returns stacked per-order outputs (N, NB, B, RCW)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -235,7 +257,7 @@ def _fused_phases_raw(xb, t_all, g_all, dirs, kcw, interpret=False):
         xb = jnp.pad(xb, ((0, 0), (0, b_pad - b), (0, 0)))
 
     y = pl.pallas_call(
-        _chain_kernel(dirs, nb, bt, rcw, kcw),
+        _chain_kernel(dirs, nb, bt, rcw, kcw, pad_cw=pad_cw),
         grid=(b_pad // bt,),
         in_specs=[
             pl.BlockSpec((nb, bt, rcw), lambda i: (0, i, 0),
@@ -254,19 +276,50 @@ def _fused_phases_raw(xb, t_all, g_all, dirs, kcw, interpret=False):
 
 
 def _fused_forward(x, w_effs, orders, interpret=False):
-    """All phase outputs of the chain, stacked raw (N, NB, B, RCW)."""
+    """All phase outputs of the chain, stacked raw (N, NB, B, RCW); row
+    blocks cover the zero-padded height ceil(H/R)*R."""
     b, c, h, width = x.shape
     kh = w_effs[0].shape[2]
-    r = choose_block_rows_divisor(h, c * width, kh)
+    r, pad = choose_block_rows_fused(h, c * width, kh)
     kcw = (kh - 1) * c * width
     phases = [_phase_matrices(w, o, width, r)
               for w, o in zip(w_effs, orders)]
     t_all = jnp.stack([p[0] for p in phases])
     g_all = jnp.stack([p[1] for p in phases])
     dirs = tuple(ORDER_FLAGS[o][0] for o in orders)
-    xb = _to_blocks(x.astype(jnp.float32), r)
+    x = x.astype(jnp.float32)
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    xb = _to_blocks(x, r)
     return _fused_phases_raw(xb, t_all, g_all, dirs, kcw,
-                             interpret=interpret)
+                             pad_cw=pad * c * width, interpret=interpret)
+
+
+def _from_blocks_trim(yb, c, h, width):
+    """(NB, B, RCW) -> NCHW, dropping zero-padded tail rows beyond H."""
+    nb, b, rcw = yb.shape
+    h_pad = nb * (rcw // (width * c))
+    y = _from_blocks(yb, c, h_pad, width)
+    return y[:, :, :h] if h_pad != h else y
+
+
+def expand_grouped_kernel(w_eff, groups: int):
+    """Dense (C, C, KH, KW) equivalent of a grouped kernel: the group
+    blocks sit on the channel block-diagonal, zeros elsewhere. Lets the
+    fused chain treat grouped solves (FincFlow level-2's all-orders-in-
+    one-launch, ``cinc_cuda_kernel_level2.cu:97-99``) with the ungrouped
+    machinery; the off-block zeros ride MXU matmuls the blocked solve
+    performs dense anyway. Differentiable: autodiff through the scatter
+    routes the dense weight cotangent back to the group blocks."""
+    if groups == 1:
+        return w_eff
+    c = w_eff.shape[0]
+    cg = c // groups
+    wg = w_eff.reshape(groups, cg, cg, *w_eff.shape[2:])
+    out = jnp.zeros((c, c) + tuple(w_eff.shape[2:]), w_eff.dtype)
+    for g in range(groups):
+        out = out.at[g * cg:(g + 1) * cg, g * cg:(g + 1) * cg].set(wg[g])
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -294,13 +347,13 @@ def fused_chain_solve(x, w_effs, orders):
     """
     phases = _fused_forward(x, w_effs, orders, interpret=_interpret())
     b, c, h, width = x.shape
-    return _from_blocks(phases[-1], c, h, width)
+    return _from_blocks_trim(phases[-1], c, h, width)
 
 
 def _fused_fwd(x, w_effs, orders):
     phases = _fused_forward(x, w_effs, orders, interpret=_interpret())
     b, c, h, width = x.shape
-    y = _from_blocks(phases[-1], c, h, width)
+    y = _from_blocks_trim(phases[-1], c, h, width)
     return y, (phases, tuple(w_effs), x.shape)
 
 
@@ -327,14 +380,14 @@ def _fused_bwd(orders, res, gy):
     for l, order in enumerate(orders):
         ax = _flip_axes(order)
         # canonical-frame cotangent on layer l's input / its solve output
-        c_l = _from_blocks(gphases[n - 1 - l], c, h, width)
-        y_l = _from_blocks(phases[l], c, h, width)
+        c_l = _from_blocks_trim(gphases[n - 1 - l], c, h, width)
+        y_l = _from_blocks_trim(phases[l], c, h, width)
         dx_in = jnp.flip(c_l, ax) if ax else c_l
         y_in = jnp.flip(y_l, ax) if ax else y_l
         y_pad = jnp.pad(y_in, ((0, 0), (0, 0), (kh - 1, 0), (kw - 1, 0)))
         dws.append(-_wgrad(dx_in, y_pad, kh, kw))
 
-    dx = _from_blocks(gphases[-1], c, h, width)
+    dx = _from_blocks_trim(gphases[-1], c, h, width)
     return dx, tuple(dws)
 
 
@@ -356,17 +409,37 @@ def chain_solve_reference(x, w_effs, orders):
     return x
 
 
+def _manual_or_single_device() -> bool:
+    """True when a pallas_call cannot be split by XLA's automatic
+    partitioner: either only one device exists, or the surrounding trace
+    is fully manual SPMD (inside a shard_map over every mesh axis — each
+    shard runs its own whole kernel). jit+NamedSharding automatic
+    partitioning of a pallas_call is the unvalidated case this guards."""
+    if len(jax.devices()) == 1:
+        return True
+    am = jax.sharding.get_abstract_mesh()
+    if am.empty:
+        return False
+    manual = getattr(jax.sharding.AxisType, "Manual", None)
+    return all(t == manual for t in am.axis_types)
+
+
 def select_fused(solver, x_shape, kernel_size, orders, groups=1):
     """Shared solver-selection policy for InvFlow / InvFlowUnit:
     'exact'/'jacobi' never fuse; 'fused' fuses whenever the shape is
     viable (silently falling back to the exact XLA solve otherwise — the
     gate is a shape property, not an error); 'auto' additionally requires
-    a TPU default backend. Data-parallel harness flows are rewritten to
-    'exact' before tracing (experiment._exact_solver_layers)."""
+    a TPU default backend AND a partitioning-safe context (single device,
+    or manual SPMD under shard_map — the harness's default data-parallel
+    impl). Under jit+NamedSharding automatic partitioning on a multi-chip
+    mesh, 'auto' falls back to the exact solve, which composes with any
+    sharding; the legacy DP harness additionally rewrites units to
+    'exact' (experiment._exact_solver_layers)."""
     if solver in ("exact", "jacobi"):
         return False
     if not fused_viable(x_shape, kernel_size, orders, groups=groups):
         return False
     if solver == "fused":
         return True
-    return jax.default_backend() == "tpu"          # 'auto'
+    return (jax.default_backend() == "tpu"         # 'auto'
+            and _manual_or_single_device())

@@ -388,27 +388,30 @@ def inv_conv_solve_jacobi(x, w_eff, groups: int = 1, iters: int = 12,
     return lax.fori_loop(0, iters, body, x)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def inv_conv_solve_jacobi_implicit(x, w_eff, groups: int = 1,
-                                   iters: int = 12):
+                                   iters: int = 12, tol: float = 0.0):
     """:func:`inv_conv_solve_jacobi` with an implicit-function-theorem VJP:
     O(1) memory in ``iters`` (no unrolled residuals) and the same cotangent
     formulas as the exact solve — dx solves the transposed system (by
-    Jacobi again), dW = -wgrad(y, dx)."""
-    return inv_conv_solve_jacobi(x, w_eff, groups, iters=iters)
+    Jacobi again), dW = -wgrad(y, dx). ``tol > 0`` enables the early-exit
+    while_loop in both the forward and the cotangent solves (``iters``
+    becomes an upper bound); exposed as ``InvFlow(jacobi_tol=...)``."""
+    return inv_conv_solve_jacobi(x, w_eff, groups, iters=iters, tol=tol)
 
 
-def _jacobi_fwd(x, w_eff, groups, iters):
-    y = inv_conv_solve_jacobi(x, w_eff, groups, iters=iters)
+def _jacobi_fwd(x, w_eff, groups, iters, tol):
+    y = inv_conv_solve_jacobi(x, w_eff, groups, iters=iters, tol=tol)
     return y, (y, w_eff)
 
 
-def _jacobi_bwd(groups, iters, res, g):
+def _jacobi_bwd(groups, iters, tol, res, g):
     y, w_eff = res
     kh, kw = w_eff.shape[2], w_eff.shape[3]
     g_f = jnp.flip(g, (2, 3))
     w_t = _transpose_kernel(w_eff, groups)
-    dx = jnp.flip(inv_conv_solve_jacobi(g_f, w_t, groups, iters=iters),
+    dx = jnp.flip(inv_conv_solve_jacobi(g_f, w_t, groups, iters=iters,
+                                        tol=tol),
                   (2, 3))
     y_pad = jnp.pad(y, ((0, 0), (0, 0), (kh - 1, 0), (kw - 1, 0)))
     if groups == 1:

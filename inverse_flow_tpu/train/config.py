@@ -88,6 +88,14 @@ class ExperimentConfig:
 
     # parallelism -----------------------------------------------------------
     data_parallel: bool = False         # shard batch over all local devices
+    # 'shard_map' (default): explicit SPMD — the train step runs per-shard
+    #   under jax.shard_map with a pmean gradient reduction, so fused
+    #   Pallas solvers (solver='auto'/'fused') stay active data-parallel
+    #   (each shard runs its own pallas_call; nothing is auto-partitioned).
+    # 'jit': legacy jit+NamedSharding automatic partitioning — the
+    #   harness rebuilds the flow with solver='exact' units because a
+    #   pallas_call must not be split by the automatic partitioner.
+    data_parallel_impl: str = "shard_map"
 
     # misc --------------------------------------------------------------------
     seed: int = 0

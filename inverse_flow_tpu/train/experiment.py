@@ -110,12 +110,21 @@ class Experiment:
         self.mesh = None
         if config.data_parallel and len(jax.devices()) > 1:
             self.mesh = make_mesh()
-            # the jit+NamedSharding step auto-partitions the graph;
-            # solver='auto' layers must not pick the Pallas kernel there
-            # (unvalidated under automatic partitioning on multi-chip) —
-            # rewrite THIS flow's layers, leaving other Experiments in
-            # the process untouched
-            flow.layers = tuple(_exact_solver_layers(flow.layers))
+            if config.data_parallel_impl == "jit":
+                # legacy jit+NamedSharding path: the automatic partitioner
+                # must not split a pallas_call, so this impl runs with
+                # exact XLA solvers. Work on a shallow COPY of the flow —
+                # the caller's object keeps its solvers (a Flow reused for
+                # a later non-DP Experiment must stay fused-capable).
+                import copy
+                flow = copy.copy(flow)
+                flow.layers = tuple(_exact_solver_layers(flow.layers))
+                self.flow = flow
+            # 'shard_map' (default): per-shard execution is fully manual
+            # SPMD — each device runs the whole step on its local batch
+            # shard (pallas_call included), gradients pmean over the mesh.
+            # No solver rewrite needed; this is the configuration that
+            # keeps the fused kernel's measured win under data parallelism.
 
         # ---------------- state ------------------------------------------
         rng = jax.random.PRNGKey(config.seed)
@@ -158,10 +167,7 @@ class Experiment:
             total = loss + recon_weight * recon
             return total, (loss, recon)
 
-        def train_step(state: TrainState, x, rng):
-            (_, (loss, recon)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params, x, rng,
-                                       state.recon_weight)
+        def apply_grads(state: TrainState, grads, loss, recon):
             updates, opt_state = self.tx.update(grads, state.opt_state,
                                                 state.params)
             if flow.has_carry:
@@ -201,6 +207,28 @@ class Experiment:
             return TrainState(params, opt_state, state.step + 1,
                               recon_weight, recon_ema), loss, recon
 
+        def train_step(state: TrainState, x, rng):
+            (_, (loss, recon)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, x, rng,
+                                       state.recon_weight)
+            return apply_grads(state, grads, loss, recon)
+
+        def dp_train_step(state: TrainState, x, rng):
+            # shard_map body: x is the LOCAL batch shard; grads/losses are
+            # pmean-reduced over the mesh before the (replicated) optimizer
+            # update — the explicit-SPMD equivalent of DataParallel's
+            # gradient all-reduce. The rng is shared by all shards, which
+            # matches the reference's DataParallel semantics (each replica
+            # draws dequantization noise from its own identically-seeded
+            # per-device generator).
+            (_, (loss, recon)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, x, rng,
+                                       state.recon_weight)
+            grads = jax.lax.pmean(grads, "data")
+            loss = jax.lax.pmean(loss, "data")
+            recon = jax.lax.pmean(recon, "data")
+            return apply_grads(state, grads, loss, recon)
+
         def eval_logpx_sum(params, x, rng):
             # eval uses the exact-logdet path (flowsequential.py:45 —
             # compute_expensive defaults True in log_prob). The expensive
@@ -222,7 +250,26 @@ class Experiment:
             return flow.exact_ldj_correction(params, self.data_shape)
 
         donate = (0,)
-        if self.mesh is not None:
+        if self.mesh is not None and cfg.data_parallel_impl == "shard_map":
+            from jax.sharding import PartitionSpec as P
+            xspec = P("data", *([None] * len(self.data_shape)))
+            # check_vma=False: pallas_call does not declare varying-manifest
+            # axes yet (same as tests/test_fused_chain.py's shard_map test);
+            # replication of the outputs holds by construction (grads are
+            # pmean'd before any state update).
+            self._train_step = jax.jit(
+                jax.shard_map(dp_train_step, mesh=self.mesh,
+                              in_specs=(P(), xspec, P()), out_specs=P(),
+                              check_vma=False),
+                donate_argnums=donate)
+
+            def dp_eval(params, x, rng):
+                return jax.lax.psum(eval_logpx_sum(params, x, rng), "data")
+            self._eval_logpx = jax.jit(
+                jax.shard_map(dp_eval, mesh=self.mesh,
+                              in_specs=(P(), xspec, P()), out_specs=P(),
+                              check_vma=False))
+        elif self.mesh is not None:
             x_shard = batch_sharding(self.mesh, 1 + len(self.data_shape))
             self._train_step = jax.jit(train_step, donate_argnums=donate,
                                        in_shardings=(None, x_shard, None))
@@ -264,15 +311,22 @@ class Experiment:
         # host pass) so a later non-integral batch (augmentation, mixed
         # data) can never be silently truncated; once a batch fails the
         # check, u8 upload is disabled for the rest of the run.
-        if (self._u8_upload is not False and isinstance(x, np.ndarray)
-                and x.dtype != np.uint8):
-            ok = bool(x.size and x.min() >= 0 and x.max() <= 255
-                      and np.all(x == np.floor(x)))
-            self._u8_upload = True if ok else False
-        if isinstance(x, np.ndarray) and (
-                x.dtype == np.uint8 or self._u8_upload):
-            x = jnp.asarray(np.ascontiguousarray(x, dtype=np.uint8)
-                            ).astype(jnp.float32)
+        if isinstance(x, np.ndarray) and x.dtype == np.uint8:
+            x = jnp.asarray(np.ascontiguousarray(x)).astype(jnp.float32)
+        elif (self._u8_upload is not False and isinstance(x, np.ndarray)
+              and x.size):
+            # one-pass gate: the uint8 cast round-trips equal iff every
+            # value is integral in [0, 255] (fractions truncate, out-of-
+            # range wraps — either breaks equality); the cast output IS
+            # the upload buffer, so the check costs one cast + one
+            # comparison. Empty batches decide nothing.
+            u8 = x.astype(np.uint8)
+            if np.array_equal(u8, x):
+                self._u8_upload = True
+                x = jnp.asarray(np.ascontiguousarray(u8)).astype(jnp.float32)
+            else:
+                self._u8_upload = False
+                x = jnp.asarray(x, jnp.float32)
         else:
             x = jnp.asarray(x, jnp.float32)
         if self.mesh is not None:
@@ -454,12 +508,12 @@ class Experiment:
                 if cfg.add_recon_grad:
                     self.logger.log("Train Total Recon Loss", float(rv))
 
-        if cfg.log_timing and len(durations) > 200:
-            # drop first/last 100 batches (experiment.py:326-331)
-            self.batch_time.update(durations[100:-100])
-            self.logger.summary("Batch Time Mean", self.batch_time.mean)
-            self.logger.summary("Batch Time Std", self.batch_time.std)
-        elif cfg.log_timing and durations:
+        if cfg.log_timing and durations:
+            # durations holds ONE per-step mean per timed window (window
+            # timing, not per-batch events), so trim the first window —
+            # it absorbs compile/warmup — rather than the reference's
+            # first/last-100-batches convention (experiment.py:326-331),
+            # which assumed one entry per batch.
             self.batch_time.update(durations[1:] if len(durations) > 1
                                    else durations)
             self.logger.summary("Batch Time Mean", self.batch_time.mean)
@@ -513,9 +567,15 @@ class Experiment:
                 out = self._sample_one(self.state.params, self._next_rng())
                 jax.block_until_ready(out)
                 durations.append((time.perf_counter() - t0) * 1e3)
-            # 20% head/tail trim (experiment.py:398)
+            # 20% head/tail trim (experiment.py:398). NOTE: this legacy
+            # per-call metric includes one host->device dispatch round-trip
+            # per image (the reference's convention); on tunneled backends
+            # that RTT dwarfs device work — "Sample Compute Time Mean"
+            # (the pre-readback chained window logged in train_epoch) is
+            # the device-latency number.
             self.sample_time.update(sorted(durations)[n // 5: -(n // 5)])
-            self.logger.summary("Sample Time Mean", self.sample_time.mean)
+            self.logger.summary("Sample Time Mean (per-call, RTT-incl)",
+                                self.sample_time.mean)
             self.logger.summary("Sample Time Std", self.sample_time.std)
 
         x = self._sample(self.state.params, self._next_rng(), False)

@@ -92,8 +92,12 @@ def test_checkpoint_roundtrip(tmp_path):
 
 @pytest.mark.slow
 def test_data_parallel_matches_single_device(tmp_path):
+    # legacy jit+NamedSharding impl: the whole step is one GLOBAL program,
+    # so even stochastic layers (dequant noise drawn on the global batch)
+    # match the single-device run exactly
     assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
-    exp_dp = _tiny_setup(tmp_path, data_parallel=True)
+    exp_dp = _tiny_setup(tmp_path, data_parallel=True,
+                         data_parallel_impl="jit")
     exp_sd = _tiny_setup(tmp_path)
     # identical init (same seed) => identical first-step loss and params
     x = next(iter(exp_sd.train_loader))
@@ -109,6 +113,83 @@ def test_data_parallel_matches_single_device(tmp_path):
                     jax.tree_util.tree_leaves(state_sd.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4)
+
+
+def _det_fused_setup(tmp_path, **cfg_kw):
+    """Deterministic flow (no dequant/split noise) whose InvFlowUnits use
+    the fused Pallas chain — for exact DP-vs-single-device parity."""
+    from inverse_flow_tpu.distributions import GaussianPrior
+    from inverse_flow_tpu.layers import ActNorm, Coupling, Flow, InvFlowUnit
+    size = (2, 8, 8)
+    flow = Flow(GaussianPrior(size),
+                [ActNorm(2), InvFlowUnit(2, (3, 3), solver="fused"),
+                 Coupling(size, width=8)])
+    loaders = synthetic.load_data(size, n_train=64, n_val=32, n_test=32,
+                                  batch_size=16)
+    cfg = ExperimentConfig(name="detfused", epochs=1, lr=1e-3, batch_size=16,
+                           warmup_epochs=1, log_interval=100,
+                           sample_epochs=1000, n_samples=2,
+                           add_recon_grad=False, plot_recon=False,
+                           save_images=False, log_timing=False,
+                           checkpoint_path=str(tmp_path / "ckpt_df.pkl"),
+                           metrics_path=str(tmp_path / "m_df.jsonl"),
+                           **cfg_kw)
+    return Experiment(flow, *loaders, cfg)
+
+
+@pytest.mark.slow
+def test_shard_map_dp_matches_single_device_fused(tmp_path):
+    """The default DP impl (shard_map) keeps solver='fused' units ACTIVE
+    and its step/eval match the single-device run exactly (VERDICT r2
+    item 1: the fused kernel must survive the data-parallel path)."""
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    from inverse_flow_tpu.layers.inv_flow import InvFlowUnit
+
+    exp_dp = _det_fused_setup(tmp_path, data_parallel=True)
+    exp_sd = _det_fused_setup(tmp_path)
+    assert exp_dp.cfg.data_parallel_impl == "shard_map"
+    units = [l for l in exp_dp.flow.layers if isinstance(l, InvFlowUnit)]
+    assert units and all(u.solver == "fused" for u in units), \
+        "shard_map DP must NOT rewrite fused solvers to exact"
+
+    x = next(iter(exp_sd.train_loader))
+    exp_dp.maybe_data_init(x)
+    exp_sd.maybe_data_init(x)
+
+    # eval: psum of per-shard sums == global sum
+    lp_dp = exp_dp.eval_epoch(exp_dp.val_loader)
+    lp_sd = exp_sd.eval_epoch(exp_sd.val_loader)
+    np.testing.assert_allclose(lp_dp, lp_sd, rtol=1e-5)
+
+    # one train step: pmean'd grads == global-batch grads
+    rng = jax.random.PRNGKey(42)
+    state_dp, loss_dp, _ = exp_dp._train_step(exp_dp.state,
+                                              exp_dp._prep_batch(x), rng)
+    state_sd, loss_sd, _ = exp_sd._train_step(exp_sd.state,
+                                              exp_sd._prep_batch(x), rng)
+    np.testing.assert_allclose(float(loss_dp), float(loss_sd), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(state_dp.params),
+                    jax.tree_util.tree_leaves(state_sd.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_shard_map_dp_trains_with_stochastic_layers(tmp_path):
+    """shard_map DP on the standard (dequantized) tiny Glow: trains to a
+    finite decreasing loss. Exact single-device parity is not expected —
+    each shard draws its own dequant noise from the shared per-step rng
+    (the reference DataParallel's identically-seeded per-replica
+    generators have the same semantics)."""
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    exp = _tiny_setup(tmp_path, data_parallel=True)
+    assert exp.mesh is not None
+    l1 = exp.train_epoch(1)
+    l2 = exp.train_epoch(2)
+    assert np.isfinite(l1) and np.isfinite(l2)
+    assert l2 < l1
+    lp = exp.eval_epoch(exp.val_loader)
+    assert np.isfinite(lp)
 
 
 def test_sampling_shapes(tmp_path):

@@ -37,6 +37,11 @@ ORDERS4 = ("TL", "TR", "BL", "BR")
     (3, 6, 5, 2, 3, ORDERS4),          # non-square, kh != kw
     (2, 9, 4, 3, 2, ("BL", "TR")),     # partial chain, odd height
     (1, 12, 12, 2, 2, ("TL",)),        # single-order (timescaling class)
+    (16, 7, 7, 3, 3, ORDERS4),         # PRIME height (Glow-MNIST level-2):
+                                       # padded final block + in-kernel mask
+    (2, 11, 3, 3, 3, ORDERS4),         # prime height, both flip dirs hit
+                                       # the masked pad rows
+    (2, 3, 3, 3, 3, ORDERS4),          # h == kh: one-row tail block
 ])
 def test_fused_matches_reference(c, h, w, kh, kw, orders):
     assert fc.fused_viable((5, c, h, w), (kh, kw), orders)
@@ -90,15 +95,72 @@ def test_inverse_roundtrip_through_unit_layer():
 def test_viability_gate():
     # Glow-MNIST level-1 class
     assert fc.fused_viable((100, 4, 14, 14), (3, 3), ORDERS4)
-    # prime height 7 with KH=3: only divisor >= 2 is 7 == h, so the whole
-    # image is one block -> nothing sequential to fuse, XLA path owns it
-    assert not fc.fused_viable((100, 16, 7, 7), (3, 3), ORDERS4)
+    # prime height 7 (Glow-MNIST level-2): covered since round 3 by the
+    # zero-padded final block + in-kernel mask
+    assert fc.fused_viable((100, 16, 7, 7), (3, 3), ORDERS4)
     # kh=1 has no inter-row carry: XLA path owns it
     assert not fc.fused_viable((2, 4, 8, 8), (1, 3), ORDERS4)
-    # groups unsupported
-    assert not fc.fused_viable((2, 8, 8, 8), (3, 3), ORDERS4, groups=2)
-    # nb == 1 (whole image one block): nothing to fuse
-    assert not fc.fused_viable((2, 2, 3, 3), (3, 3), ORDERS4)
+    # groups: covered since round 3 via dense block-diagonal expansion
+    assert fc.fused_viable((2, 8, 8, 8), (3, 3), ORDERS4, groups=2)
+    assert not fc.fused_viable((2, 6, 8, 8), (3, 3), ORDERS4, groups=4)
+    # h < kh: no usable block size at all
+    assert not fc.fused_viable((2, 2, 2, 3), (3, 3), ORDERS4)
+
+
+def test_grouped_fused_matches_grouped_solve():
+    """Dense block-diagonal expansion == the grouped blocked solve (the
+    FincFlow level-2 class, all orders one launch)."""
+    from inverse_flow_tpu.ops.inv_conv import inv_conv_solve
+
+    c, g, h, w = 8, 4, 8, 6
+    cg = c // g
+    keys = jax.random.split(jax.random.PRNGKey(11), g)
+    wg = jnp.concatenate(
+        [apply_mask(0.1 * jax.random.normal(k, (cg, cg, 3, 3)))
+         for k in keys], axis=0)
+    x = jax.random.normal(jax.random.PRNGKey(12), (5, c, h, w), jnp.float32)
+    assert fc.fused_viable(x.shape, (3, 3), ("TL",), groups=g)
+    w_dense = fc.expand_grouped_kernel(wg, g)
+    y = fc.fused_chain_solve(x, (w_dense,), ("TL",))
+    y_ref = inv_conv_solve(x, wg, g)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fincflow_fused_sampling_roundtrip():
+    from inverse_flow_tpu.layers.padded_conv import FincFlowUnit
+
+    layer = FincFlowUnit(8, (3, 3), solver="fused")
+    params, _ = layer.init(jax.random.PRNGKey(0), (8, 8, 8))
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 8, 8, 8))
+    z, _ = layer.forward(params, x)
+    x_rt = layer.inverse(params, z)
+    np.testing.assert_allclose(np.asarray(x_rt), np.asarray(x),
+                               atol=1e-4, rtol=1e-4)
+    # and matches the exact-solver unit
+    x_exact = FincFlowUnit(8, (3, 3)).inverse(params, z)
+    np.testing.assert_allclose(np.asarray(x_rt), np.asarray(x_exact),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fused_vjp_at_padded_height():
+    """Gradients through the padded-final-block path (prime height)."""
+    c, h, w = 2, 7, 4
+    w_effs = _weights(c, 3, 3, 4, seed=7)
+    x = jax.random.normal(jax.random.PRNGKey(8), (3, c, h, w), jnp.float32)
+    assert fc.fused_viable(x.shape, (3, 3), ORDERS4)
+
+    def loss(fn):
+        return lambda x, ws: jnp.sum(jnp.cos(fn(x, tuple(ws), ORDERS4)))
+
+    gx, gws = jax.grad(loss(fc.fused_chain_solve), argnums=(0, 1))(x, w_effs)
+    gx_r, gws_r = jax.grad(loss(fc.chain_solve_reference),
+                           argnums=(0, 1))(x, w_effs)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r),
+                               atol=1e-4, rtol=1e-4)
+    for a, b in zip(gws, gws_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
 
 
 @pytest.mark.slow
