@@ -1,0 +1,269 @@
+"""N-step training-trajectory golden parity vs torch (round-2 VERDICT
+item 3).
+
+Single-step golden tests (test_golden_model.py) can't see a transcription
+slip in how the modified gradient, GECO EMA, weight clamp and warmup LR
+interact OVER STEPS (``inf/train/experiment.py:197-311``,
+``selfnorm.py:219-227``) — a wrong EMA constant or clamp order silently
+changes convergence. These tests run ~20 optimizer steps of the REAL
+jitted harness step (``Experiment._train_step``) against from-scratch
+torch/f64 replicas of the update rule and assert the loss trajectories
+(and GECO weight trajectory) agree to float32 tolerance.
+
+Two configs, per the VERDICT prescription:
+  (a) exact inv-conv stack (the golden-model flow) under SGD + warmup;
+  (b) a SelfNormConv flow with modified gradient + recon loss + GECO EMA
+      + weight clamp + warmup.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from inverse_flow_tpu.data.loader import ArrayLoader
+from inverse_flow_tpu.distributions import GaussianPrior
+from inverse_flow_tpu.layers import Flow, SelfNormConv
+from inverse_flow_tpu.train.config import ExperimentConfig
+from inverse_flow_tpu.train.experiment import Experiment
+
+from test_golden_model import (ALPHA, SIZE, _build_flow, _perturbed_params,
+                               _t_conv1x1, _t_coupling, _t_inv_conv,
+                               _t_logit, _t_normalize, _t_prior_logprob,
+                               _t_squeeze)
+
+
+def t64(a, grad=False):
+    t = torch.from_numpy(np.asarray(a, np.float64))
+    return t.requires_grad_(grad) if grad else t
+
+
+def _make_experiment(flow, data, cfg_kw, tmp_path):
+    n, batch = data.shape[0], cfg_kw.pop("batch_size")
+    loaders = tuple(ArrayLoader(data, batch, shuffle=False)
+                    for _ in range(3))
+    cfg = ExperimentConfig(
+        name="traj", batch_size=batch, optimizer_name="SGD",
+        sgd_momentum=0.0, sgd_weight_decay=0.0, warmup_epochs=1,
+        scheduler_name="None", log_timing=False, save_images=False,
+        plot_recon=False, checkpoint_path=str(tmp_path / "c.pkl"),
+        metrics_path=str(tmp_path / "m.jsonl"), **cfg_kw)
+    return Experiment(flow, *loaders, cfg)
+
+
+# ---------------------------------------------------------------------------
+# (a) exact inv-conv stack: SGD + per-batch warmup over 20 steps
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_trajectory_exact_invconv_sgd(tmp_path):
+    flow = _build_flow()
+
+    rs = np.random.RandomState(3)
+    n, batch, steps_per_epoch = 40, 8, 5
+    data = (rs.randint(0, 256, (n,) + SIZE)
+            + rs.uniform(0.0, 1.0, (n,) + SIZE)).astype(np.float32)
+
+    exp = _make_experiment(flow, data, dict(batch_size=batch, lr=1e-3,
+                                            modified_grad=True,
+                                            add_recon_grad=False),
+                           tmp_path)
+    # replace init params with the perturbed golden set on BOTH sides;
+    # snapshot to host FIRST — the jitted step donates its state buffers
+    params_dev = _perturbed_params(flow)
+    params0 = jax.device_get(params_dev)
+    exp.state = exp.state._replace(params=params_dev,
+                                   opt_state=exp.tx.init(params_dev))
+    exp._data_initialized = True         # skip ActNorm data-init
+
+    # ---- 20 steps of the real jitted harness step --------------------
+    losses_jax = []
+    state = exp.state
+    for epoch in range(4):               # 4 epochs x 5 batches = 20 steps
+        for b in range(steps_per_epoch):
+            x = jnp.asarray(data[b * batch:(b + 1) * batch])
+            state, loss, _ = exp._train_step(state, x,
+                                             jax.random.PRNGKey(0))
+            losses_jax.append(float(loss))
+
+    # ---- torch/f64 replica of the same update rule -------------------
+    from inverse_flow_tpu.ops.inv_conv import apply_mask
+    base = np.asarray(apply_mask(jnp.zeros_like(params0[6]["w"])))
+    mask01 = np.asarray(apply_mask(jnp.ones_like(params0[6]["w"]))) - base
+
+    tp = {
+        "act_t": t64(params0[4]["translation"], True),
+        "act_s": t64(params0[4]["log_scale"], True),
+        "w1x1": t64(params0[5]["W"], True),
+        "winv": t64(params0[6]["w"], True),
+    }
+    tp.update({f"cp_{k}": t64(v, True) for k, v in params0[7].items()})
+
+    def t_loss(x_np):
+        x = t64(x_np)
+        total = torch.zeros(x.shape[0], dtype=torch.float64)
+        x, l = _t_normalize(x, 0.0, 256.0); total = total + l
+        x, l = _t_normalize(x, -ALPHA, 1.0 / (1.0 - 2.0 * ALPHA))
+        total = total + l
+        x, l = _t_logit(x); total = total + l
+        x, l = _t_squeeze(x); total = total + l
+        z = (x - tp["act_t"].view(1, -1, 1, 1)) * torch.exp(
+            -tp["act_s"].view(1, -1, 1, 1))
+        total = total - tp["act_s"].sum() * x.shape[2] * x.shape[3]
+        x = torch.einsum("oc,bchw->bohw", tp["w1x1"], z)
+        total = total + x.shape[2] * x.shape[3] * torch.linalg.slogdet(
+            tp["w1x1"])[1]
+        w_eff = t64(mask01) * tp["winv"] + t64(base)
+        x, l = _t_inv_conv(x, w_eff); total = total + l
+        cp = {k[3:]: v for k, v in tp.items() if k.startswith("cp_")}
+        x, l = _t_coupling(x, cp); total = total + l
+        return -(_t_prior_logprob(x) + total).mean()
+
+    warmup_steps = steps_per_epoch          # warmup_epochs=1
+    losses_t = []
+    step = 0
+    for epoch in range(4):
+        for b in range(steps_per_epoch):
+            loss = t_loss(data[b * batch:(b + 1) * batch])
+            losses_t.append(float(loss.detach()))
+            for v in tp.values():
+                if v.grad is not None:
+                    v.grad = None
+            loss.backward()
+            lr_t = 1e-3 * min((step + 1.0) / warmup_steps, 1.0)
+            with torch.no_grad():
+                for v in tp.values():
+                    v -= lr_t * v.grad
+            step += 1
+
+    losses_jax = np.asarray(losses_jax)
+    losses_t = np.asarray(losses_t)
+    rel = np.abs(losses_jax - losses_t) / np.abs(losses_t)
+    assert rel.max() < 2e-3, (
+        f"trajectories diverge at step {int(rel.argmax())}: "
+        f"{losses_jax[rel.argmax()]:.4f} vs {losses_t[rel.argmax()]:.4f}")
+    # and the trajectory actually moved (the test isn't vacuous)
+    assert losses_t[-1] < losses_t[0]
+
+
+# ---------------------------------------------------------------------------
+# (b) selfnorm: modified grad + recon + GECO EMA + weight clamp + warmup
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_trajectory_selfnorm_geco_clamp(tmp_path):
+    C, H = 2, 6
+    size = (C, H, H)
+    flow = Flow(GaussianPrior(size),
+                [SelfNormConv(C, C, (3, 3), bias=True, padding=1)])
+
+    rs = np.random.RandomState(7)
+    n, batch, steps_per_epoch = 24, 6, 4
+    data = rs.normal(0.0, 1.0, (n,) + size).astype(np.float32)
+
+    CLAMP, GECO_LR, ALPHA_EMA, LR = 0.5, 1e-3, 0.9, 5e-3
+    exp = _make_experiment(
+        flow, data,
+        dict(batch_size=batch, lr=LR, modified_grad=True,
+             add_recon_grad=True, recon_loss_weight=1.0,
+             recon_loss_lr=GECO_LR, recon_alpha=ALPHA_EMA,
+             weight_clamp=CLAMP),
+        tmp_path)
+    params0 = jax.device_get(exp.state.params)
+
+    losses_jax, recons_jax, rw_jax = [], [], []
+    state = exp.state
+    for epoch in range(5):               # 5 x 4 = 20 steps
+        for b in range(steps_per_epoch):
+            x = jnp.asarray(data[b * batch:(b + 1) * batch])
+            state, loss, recon = exp._train_step(state, x,
+                                                 jax.random.PRNGKey(0))
+            losses_jax.append(float(loss))
+            recons_jax.append(float(recon))
+            rw_jax.append(float(state.recon_weight))
+
+    # ---- torch/f64 replica -------------------------------------------
+    W = t64(params0[0]["w"])
+    R = t64(params0[0]["r"])
+    bb = t64(params0[0]["b"])
+    D = C * H * H
+
+    def flip_k(w):
+        return torch.flip(w, (2, 3)).transpose(0, 1)
+
+    losses_t, recons_t, rw_t = [], [], []
+    rw, ema = 1.0, 0.0
+    warmup_steps = steps_per_epoch
+    step = 0
+    for epoch in range(5):
+        for b in range(steps_per_epoch):
+            x = t64(data[b * batch:(b + 1) * batch])
+            bsz = x.shape[0]
+
+            # nll part (cheap path, ldj = 0): manual modified gradient
+            z = F.conv2d(x, W, padding=1) + bb.view(1, -1, 1, 1)
+            nll = 0.5 * (z * z).sum() / bsz + 0.5 * D * math.log(2 * math.pi)
+            g = z / bsz                                  # dL/dz
+            ones_z, ones_x = torch.ones_like(z), torch.ones_like(x)
+            multiple = torch.nn.grad.conv2d_weight(
+                ones_x, W.shape, ones_z, padding=1) / bsz
+            dzxt = torch.nn.grad.conv2d_weight(x, W.shape, g, padding=1)
+            gw_nll = (dzxt - flip_k(R) * multiple) / 2.0
+            gx = torch.nn.grad.conv2d_input(x.shape, W, g, padding=1)
+            wx = z - bb.view(1, -1, 1, 1)
+            negdxwxt = torch.nn.grad.conv2d_weight(
+                wx, R.shape, -gx, padding=1)
+            gr_nll = (negdxwxt + flip_k(W) * flip_k(multiple)) / 2.0
+            gb_nll = g.sum((0, 2, 3))
+
+            # recon part: TRUE gradient (torch autograd), x detached
+            Wl = W.clone().requires_grad_(True)
+            Rl = R.clone().requires_grad_(True)
+            zz = F.conv2d(x, Wl, padding=1)
+            x_hat = F.conv2d(zz, Rl, padding=1)
+            recon = ((x - x_hat) ** 2).reshape(bsz, -1).sum(-1).mean()
+            recon.backward()
+
+            losses_t.append(float(nll))
+            recons_t.append(float(recon))
+
+            gw = gw_nll + rw * Wl.grad
+            gr = gr_nll + rw * Rl.grad
+            gb = gb_nll
+
+            lr_t = LR * min((step + 1.0) / warmup_steps, 1.0)
+            with torch.no_grad():
+                W -= lr_t * gw
+                R -= lr_t * gr
+                bb -= lr_t * gb
+                W.clamp_(-CLAMP, CLAMP)
+                R.clamp_(-CLAMP, CLAMP)
+                bb.clamp_(-CLAMP, CLAMP)
+
+            # GECO EMA + weight update (selfnorm.py:219-227 semantics as
+            # implemented by the harness: first step seeds the EMA)
+            ema = float(recon) if step == 0 else (
+                ALPHA_EMA * ema + (1 - ALPHA_EMA) * float(recon))
+            rw = rw * math.exp(GECO_LR * ema)
+            rw_t.append(rw)
+            step += 1
+
+    for name, ours, ref, tol in (
+            ("nll", losses_jax, losses_t, 2e-3),
+            ("recon", recons_jax, recons_t, 5e-3),
+            ("geco weight", rw_jax, rw_t, 5e-3)):
+        ours, ref = np.asarray(ours), np.asarray(ref)
+        rel = np.abs(ours - ref) / np.maximum(np.abs(ref), 1e-8)
+        assert rel.max() < tol, (
+            f"{name} trajectory diverges at step {int(rel.argmax())}: "
+            f"{ours[rel.argmax()]:.5f} vs {ref[rel.argmax()]:.5f}")
+    # GECO actually moved the weight and the clamp actually bit
+    assert abs(rw_t[-1] - 1.0) > 1e-4
+    assert float(t64(jax.device_get(state.params)[0]["w"]).abs().max()) \
+        <= CLAMP + 1e-6
