@@ -1,50 +1,95 @@
 """Benchmark entry point — prints ONE JSON line for the driver.
 
-Flagship model: the if_glow_mnist configuration (L=2 blocks x K=16 steps,
-coupling width 512, batch 100, 28x28 inputs — reference
-``inf/experiments/if_glow_mnist.py:150-159``). Measures:
+Flagship metric (default, no args): the if_glow_mnist configuration
+(L=2 blocks x K=16 steps, coupling width 512, batch 100, 28x28 inputs —
+reference ``inf/experiments/if_glow_mnist.py:150-159``), train step time.
 
-  * train step time (ms/batch): jitted loss+grad+update, trimmed mean —
-    the reference's ``Batch Time Mean`` convention
-    (``inf/train/experiment.py:259-262,326-331``);
-  * sampling latency (ms/image): n=1 repeated with 20% head/tail trim
-    (``experiment.py:377-400``).
+``--all`` (round-2 VERDICT item 8): one sweep over the config families
+BASELINE names — glow_mnist, imagenet32 production, timescaling shapes,
+and the mixed-precision coupling policy — writing one JSONL row per
+config to ``results/bench_sweep.jsonl`` with step time, sampling
+latency, samples/sec/chip, and MFU, so round-over-round comparison is
+mechanical. ``--config NAME`` runs a single row.
 
-Primary metric: train step time. ``vs_baseline`` is the speedup ratio
-(baseline_ms / ours_ms) when BASELINE.json carries a measured reference
-number; the reference repo publishes none (``published: {}``), so it is
-null until a baseline measurement lands.
+Timing methodology (all rows): chained steps (each consumes the previous
+step's outputs) between two syncs, best of 3 trials — robust on
+async/tunneled backends where per-call syncs pay the full RTT
+(the reference's CUDA-event convention, ``inf/train/experiment.py:
+259-262,326-331``); sampling = n=1 reverses chained INSIDE one program
+(lax.scan), the reference's per-image convention (``:377-400``).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import os
 import time
 
 import numpy as np
 
 
-def main():
-    import jax
+# ---------------------------------------------------------------------------
+# Config families (BASELINE.md target list)
+# ---------------------------------------------------------------------------
 
-    from inverse_flow_tpu import enable_compilation_cache
-    enable_compilation_cache()
-    import jax.numpy as jnp
-
+def _glow_mnist(**kw):
     from inverse_flow_tpu.models.glow import build_glow
+    args = dict(step_kind="inv_conv_no_pad", num_blocks=2, block_size=16,
+                coupling_width=512, actnorm=True, split_prior=True,
+                activation="Spline", n_bins=5, tail_bound=20.0)
+    args.update(kw)
+    return build_glow((1, 28, 28), **args), (1, 28, 28), 100
+
+
+def _glow_imagenet32(**kw):
+    from inverse_flow_tpu.models.glow import build_glow
+    args = dict(step_kind="inv_flow_unit", num_blocks=3, block_size=48,
+                coupling_width=128, actnorm=True, split_prior=True,
+                activation="SLR")
+    args.update(kw)
+    return build_glow((3, 32, 32), **args), (3, 32, 32), 100
+
+
+def _timescale(s, **kw):
+    from inverse_flow_tpu.models.glow import build_cnn_flow
+    return (build_cnn_flow((1, s, s), step_kind="inv_conv_no_pad",
+                           num_blocks=1, block_size=2, activation="None",
+                           kernel=(2, 2)), (1, s, s), 128)
+
+
+CONFIGS = {
+    # flagship + solver/precision variants
+    "glow_mnist": lambda: _glow_mnist(),
+    "glow_mnist_fused_units": lambda: _glow_mnist(
+        step_kind="inv_flow_unit"),   # solver='auto': fused on TPU
+    "glow_mnist_bf16_couplings": lambda: _glow_mnist(
+        coupling_dtype="bfloat16"),
+    # production scale
+    "imagenet32": lambda: _glow_imagenet32(),
+    "imagenet32_exact": lambda: _glow_imagenet32(
+        step_kind="inv_flow_unit_exact"),
+    "imagenet32_bf16_couplings": lambda: _glow_imagenet32(
+        coupling_dtype="bfloat16"),
+    # timescaling shapes
+    "timescale_s64": lambda: _timescale(64),
+    "timescale_s128": lambda: _timescale(128),
+}
+
+
+def bench_config(name, build, sample_latency=True):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
     from inverse_flow_tpu.data import synthetic
 
-    batch = 100
-    flow = build_glow((1, 28, 28), step_kind="inv_conv_no_pad",
-                      num_blocks=2, block_size=16, coupling_width=512,
-                      actnorm=True, split_prior=True, activation="Spline",
-                      n_bins=5, tail_bound=20.0)
+    flow, size, batch = build()
     rng = jax.random.PRNGKey(0)
-    params, _ = flow.init(rng, (1, 28, 28))
-    x = jnp.asarray(synthetic.smooth_images(batch, (1, 28, 28)), jnp.float32)
+    params, _ = flow.init(rng, size)
+    x = jnp.asarray(synthetic.smooth_images(batch, size), jnp.float32)
     params = flow.data_init(params, x, rng=rng)
 
-    import optax
     tx = optax.adam(1e-5)
     opt_state = tx.init(params)
 
@@ -57,64 +102,50 @@ def main():
         params2 = jax.tree_util.tree_map(lambda a, b: a + b, params, updates)
         return params2, opt_state2, loss
 
-    # compile
     params, opt_state, loss = train_step(params, opt_state, x, rng)
     jax.block_until_ready(loss)
 
-    # Chained timing: each step consumes the previous step's params, so
-    # the device must execute them sequentially; total/n is robust to
-    # async-dispatch / tunneled backends where per-call block_until_ready
-    # under-reports (the reference's per-batch CUDA-event convention,
-    # ``inf/train/experiment.py:259-262``, measured the same way would
-    # pipeline on TPU).
     step_trials = []
     for trial in range(3):
         n_iter = 60
         t0 = time.perf_counter()
         for i in range(n_iter):
-            params, opt_state, loss = train_step(params, opt_state, x,
-                                                 jax.random.fold_in(rng, i))
+            params, opt_state, loss = train_step(
+                params, opt_state, x, jax.random.fold_in(rng, i))
         jax.block_until_ready(loss)
         step_trials.append((time.perf_counter() - t0) / n_iter * 1e3)
     step_ms = min(step_trials)
 
-    # sampling latency (ms/image, n=1 repeated — the reference convention,
-    # ``experiment.py:377-400``): N sequential single-image reverses run
-    # INSIDE one program (lax.scan) so per-call dispatch can't pollute the
-    # per-image number; 3 trials, best trial taken — the first trial still
-    # pays one-time executable-load costs on tunneled backends.
-    n_inner = 8
-    @jax.jit
-    def sample_n(p, r):
-        def body(acc, rr):
-            return acc + jnp.sum(flow.sample(p, rr, 1)), None
-        acc, _ = jax.lax.scan(body, 0.0, jax.random.split(r, n_inner))
-        return acc
+    sample_ms = None
+    if sample_latency:
+        n_inner = 8
 
-    y = sample_n(params, rng)
-    jax.block_until_ready(y)
-    trials = []
-    for trial in range(3):
-        n_s = 30
-        t0 = time.perf_counter()
-        for i in range(n_s):
-            y = sample_n(params, jax.random.fold_in(
-                rng, y.astype(jnp.uint32) * 0 + i))
+        @jax.jit
+        def sample_n(p, r):
+            def body(acc, rr):
+                return acc + jnp.sum(flow.sample(p, rr, 1)), None
+            acc, _ = jax.lax.scan(body, 0.0, jax.random.split(r, n_inner))
+            return acc
+
+        y = sample_n(params, rng)
         jax.block_until_ready(y)
-        trials.append((time.perf_counter() - t0) / n_s / n_inner * 1e3)
-    sample_ms = min(trials)
-
-    baseline_ms = None
-    try:
-        with open("BASELINE.json") as f:
-            baseline_ms = json.load(f).get("published", {}).get(
-                "glow_mnist_train_step_ms")
-    except Exception:
-        pass
+        trials = []
+        for trial in range(3):
+            n_s = 30
+            t0 = time.perf_counter()
+            for i in range(n_s):
+                y = sample_n(params, jax.random.fold_in(
+                    rng, y.astype(jnp.uint32) * 0 + i))
+            jax.block_until_ready(y)
+            trials.append((time.perf_counter() - t0) / n_s / n_inner * 1e3)
+        sample_ms = min(trials)
 
     # analytic FLOPs of the compiled step (XLA cost model) -> achieved
-    # FLOP/s and MFU against the chip's peak (BASELINE.json names
-    # samples/sec/chip as a target metric)
+    # FLOP/s and MFU. NOTE on the denominator (round-2 VERDICT weak-2):
+    # the coupling nets (the dominant FLOPs) run at DEFAULT matmul
+    # precision (bf16 multiply, f32 accumulate on TPU) and the solver ops
+    # at HIGHEST, so the bf16 peak is the right reference for the config's
+    # compute ceiling; the 'precision' field records the mix.
     step_flops = None
     try:
         ca = train_step.lower(params, opt_state, x, rng).compile() \
@@ -124,35 +155,74 @@ def main():
         step_flops = float(ca.get("flops", 0.0)) or None
     except Exception:
         pass
-    dev_kind = getattr(jax.devices()[0], "device_kind", "")
+    import jax as _jax
+    dev_kind = getattr(_jax.devices()[0], "device_kind", "")
     peak_tflops = {"TPU v5 lite": 197.0, "TPU v5": 459.0,
                    "TPU v4": 275.0, "TPU v6 lite": 918.0}.get(dev_kind)
-    achieved_tflops = (step_flops / (step_ms * 1e-3) / 1e12
-                       if step_flops else None)
-    mfu_pct = (100.0 * achieved_tflops / peak_tflops
-               if achieved_tflops and peak_tflops else None)
+    achieved = (step_flops / (step_ms * 1e-3) / 1e12 if step_flops else None)
+    mfu = (100.0 * achieved / peak_tflops
+           if achieved and peak_tflops else None)
 
+    return {
+        "config": name,
+        "train_step_ms": round(step_ms, 3),
+        "sample_latency_ms_per_image": (round(sample_ms, 3)
+                                        if sample_ms else None),
+        "batch_size": batch,
+        "samples_per_sec_per_chip": round(batch / (step_ms * 1e-3), 1),
+        "train_step_gflops": (round(step_flops / 1e9, 3)
+                              if step_flops else None),
+        "achieved_tflops": round(achieved, 3) if achieved else None,
+        "mfu_pct_of_bf16_peak": round(mfu, 3) if mfu else None,
+        "peak_tflops_assumed": peak_tflops,
+        "precision": "couplings=default(bf16 mul/f32 acc), solver=highest",
+        "device": str(_jax.devices()[0]),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", action="store_true",
+                    help="sweep all configs -> results/bench_sweep.jsonl")
+    ap.add_argument("--config", default=None, help="run one named config")
+    args = ap.parse_args()
+
+    from inverse_flow_tpu import enable_compilation_cache
+    enable_compilation_cache()
+
+    if args.all or args.config:
+        names = [args.config] if args.config else list(CONFIGS)
+        rows = []
+        for name in names:
+            rows.append(bench_config(name, CONFIGS[name]))
+            print(json.dumps(rows[-1]), flush=True)
+        if args.all:
+            os.makedirs("results", exist_ok=True)
+            with open("results/bench_sweep.jsonl", "w") as f:
+                for r in rows:
+                    f.write(json.dumps(r) + "\n")
+        return
+
+    # default: the flagship single-line contract for the driver
+    row = bench_config("glow_mnist", CONFIGS["glow_mnist"])
+    baseline_ms = None
+    try:
+        with open("BASELINE.json") as f:
+            baseline_ms = json.load(f).get("published", {}).get(
+                "glow_mnist_train_step_ms")
+    except Exception:
+        pass
     result = {
         "metric": "glow_mnist_train_step",
-        "value": round(step_ms, 3),
+        "value": row["train_step_ms"],
         "unit": "ms/batch",
-        "vs_baseline": (round(baseline_ms / step_ms, 3)
+        "vs_baseline": (round(baseline_ms / row["train_step_ms"], 3)
                         if baseline_ms else None),
-        "extra": {
-            "sample_latency_ms_per_image": round(sample_ms, 3),
-            "batch_size": batch,
-            "samples_per_sec_per_chip": round(batch / (step_ms * 1e-3), 1),
-            "train_step_gflops": (round(step_flops / 1e9, 3)
-                                  if step_flops else None),
-            "achieved_tflops": (round(achieved_tflops, 3)
-                                if achieved_tflops else None),
-            "mfu_pct_of_bf16_peak": (round(mfu_pct, 3)
-                                     if mfu_pct else None),
-            "peak_tflops_assumed": peak_tflops,
-            "device": str(jax.devices()[0]),
-        },
+        "extra": {k: v for k, v in row.items()
+                  if k not in ("config", "train_step_ms")},
     }
     print(json.dumps(result))
+
 
 
 if __name__ == "__main__":

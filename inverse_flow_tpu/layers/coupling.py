@@ -35,10 +35,23 @@ class Coupling(FlowLayer):
     input_size: Tuple[int, int, int]
     width: int = 512
     logscale_factor: float = 3.0
+    # 'float32' (default) or 'bfloat16': the mixed-precision policy for
+    # the coupling NET only (where nearly all model FLOPs live). bf16
+    # stores the net's activations/weights at half width — halving the
+    # HBM traffic of the wide convs — while every conv still ACCUMULATES
+    # in f32 (preferred_element_type) and the affine transform itself
+    # (log_s, t, exp, ldj sum) stays f32, so invertibility and the
+    # likelihood accounting are full precision.
+    compute_dtype: str = "float32"
 
     @property
     def half_channels(self):
         return self.input_size[0] // 2
+
+    @property
+    def _dt(self):
+        return (jnp.bfloat16 if self.compute_dtype in ("bf16", "bfloat16")
+                else jnp.float32)
 
     def init(self, rng, shape):
         c = self.input_size[0]
@@ -55,11 +68,22 @@ class Coupling(FlowLayer):
         return params, shape
 
     def _net(self, params, x1):
-        h = conv2d(x1, params["w1"], padding=1)
+        # bf16 policy: the net's tensors (weights, activations, conv
+        # outputs and their cotangents) are stored in dt end-to-end — the
+        # MXU still accumulates each conv in its f32 accumulators — and
+        # the result is cast back to f32 before the affine math. Keeping
+        # the conv output dtype homogeneous with its operands also keeps
+        # the conv VJP single-dtype (a mixed f32-cotangent/bf16-weight
+        # transpose conv is rejected by lax).
+        dt = self._dt
+        h = conv2d(x1.astype(dt), params["w1"].astype(dt), padding=1,
+                   preferred_dtype=dt)
         h = jax.nn.relu(h)
-        h = conv2d(h, params["w2"], padding=0)
+        h = conv2d(h, params["w2"].astype(dt), padding=0, preferred_dtype=dt)
         h = jax.nn.relu(h)
-        h = conv2d(h, params["w3"], padding=1) + params["b3"].reshape(1, -1, 1, 1)
+        h = conv2d(h, params["w3"].astype(dt), padding=1,
+                   preferred_dtype=dt).astype(jnp.float32)
+        h = h + params["b3"].reshape(1, -1, 1, 1)
         h = h * jnp.exp(params["logs3"] * self.logscale_factor).reshape(1, -1, 1, 1)
         return h
 

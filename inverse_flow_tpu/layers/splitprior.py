@@ -23,10 +23,12 @@ from .coupling import Coupling
 class SplitPrior(FlowLayer):
     input_size: Tuple[int, int, int]
     width: int = 512
+    compute_dtype: str = "float32"      # coupling-net precision policy
 
     @property
     def transform(self):
-        return Coupling(self.input_size, width=self.width)
+        return Coupling(self.input_size, width=self.width,
+                        compute_dtype=self.compute_dtype)
 
     @property
     def base(self):

@@ -67,6 +67,8 @@ def _step_layer(kind: str, c: int, size, **kw):
     if kind == "inv_flow_unit_fused":
         # whole TL/TR/BL/BR chain in one Pallas kernel (ops/fused_chain.py)
         return InvFlowUnit(c, kw.get("kernel", (3, 3)), solver="fused")
+    if kind == "inv_flow_unit_exact":
+        return InvFlowUnit(c, kw.get("kernel", (3, 3)), solver="exact")
     if kind == "inv_conv_no_pad":
         return InvFlowNoPad(c, kw.get("kernel", (2, 2)))
     if kind == "conv1x1":
@@ -82,7 +84,7 @@ def build_glow(data_size=(1, 28, 28), step_kind="inv_conv_no_pad",
                num_blocks=2, block_size=16, coupling_width=512,
                actnorm=True, split_prior=True, activation="Spline",
                n_bins=5, tail_bound=20.0, if_kernel_size=3, alpha=1e-7,
-               scan_blocks=True, remat=False):
+               scan_blocks=True, remat=False, coupling_dtype="float32"):
     """Glow stack (``if_glow_mnist.py:33-132``).
 
     ``scan_blocks=True`` folds the K identical steps of each block into a
@@ -107,7 +109,8 @@ def build_glow(data_size=(1, 28, 28), step_kind="inv_conv_no_pad",
                                             if_kernel_size)))
             if act is not None:
                 step.append(act(size))
-            step.append(Coupling(size, width=coupling_width))
+            step.append(Coupling(size, width=coupling_width,
+                                 compute_dtype=coupling_dtype))
             return step
 
         if scan_blocks:
@@ -117,7 +120,8 @@ def build_glow(data_size=(1, 28, 28), step_kind="inv_conv_no_pad",
             for k in range(block_size):
                 layers.extend(make_step())
         if split_prior and l < num_blocks - 1:
-            layers.append(SplitPrior(size, width=coupling_width))
+            layers.append(SplitPrior(size, width=coupling_width,
+                                     compute_dtype=coupling_dtype))
             size = (size[0] // 2, size[1], size[2])
     return Flow(GaussianPrior(size), layers)
 

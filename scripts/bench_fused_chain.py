@@ -93,6 +93,44 @@ def bench_case(name, shape, ksize, orders, n_chain=1):
     return results
 
 
+def check_compiled_values(cases):
+    """COMPILED-kernel value parity on the live backend (ADVICE r2: the
+    interpret-mode tests can't see a compiled-only divergence — layout,
+    fori_loop carry, out-ref read order). Runs AFTER all timing: the
+    host value readbacks this performs degrade subsequent dispatch
+    latency on tunneled backends, so it must not precede measurement."""
+    import jax
+    import jax.numpy as jnp
+
+    from inverse_flow_tpu.ops import fused_chain as fc
+    from inverse_flow_tpu.ops.inv_conv import apply_mask
+
+    worst = 0.0
+    for name, shape, ksize, orders, _ in cases:
+        if not fc.fused_viable(shape, ksize, orders):
+            continue
+        b, c, h, w = shape
+        kh, kw = ksize
+        keys = jax.random.split(jax.random.PRNGKey(2), len(orders))
+        w_effs = tuple(apply_mask(0.01 * jax.random.normal(
+            k, (c, c, kh, kw))) for k in keys)
+        x = jax.random.normal(jax.random.PRNGKey(3),
+                              (min(b, 16),) + shape[1:], jnp.float32)
+        y = np.asarray(jax.jit(
+            lambda x: fc.fused_chain_solve(x, w_effs, orders))(x))
+        y_ref = np.asarray(jax.jit(
+            lambda x: fc.chain_solve_reference(x, w_effs, orders))(x))
+        err = float(np.max(np.abs(y - y_ref)))
+        scale = float(np.max(np.abs(y_ref))) or 1.0
+        rel = err / scale
+        worst = max(worst, rel)
+        status = "OK" if rel < 1e-4 else "FAIL"
+        print(f"# value check {name}: max|d| {err:.3e} (rel {rel:.3e}) "
+              f"{status}", flush=True)
+        assert rel < 1e-4, f"compiled fused kernel diverges on {name}"
+    print(f"# compiled value parity: worst rel err {worst:.3e}", flush=True)
+
+
 def main():
     import jax
 
@@ -111,6 +149,12 @@ def main():
         # timescaling convention (2 layers of single-order 2x2, batch 128)
         ("timescale_s32", (128, 1, 32, 32), (2, 2), ("TL",), 2),
         ("timescale_s128", (128, 1, 128, 128), (2, 2), ("TL",), 2),
+        # PRIME-height Glow-MNIST level-2 (newly fused in round 3 via the
+        # zero-padded final block): one unit and the full K=16 stack
+        ("glow_mnist_L2_unit", (100, 16, 7, 7), (3, 3), O4, 1),
+        ("glow_mnist_L2_K16", (100, 16, 7, 7), (3, 3), O4, 16),
+        # ImageNet32 level-2 (8x8 at 48 channels, divisor shape)
+        ("imagenet32_L2_unit", (100, 48, 8, 8), (3, 3), O4, 1),
     ]
     all_recs = []
     for case in cases:
@@ -130,6 +174,9 @@ def main():
         if xr:
             print(f"{r['case']}/{r['mode']}: {xr['ms_best']:.3f} "
                   f"{r['ms_best']:.3f} {xr['ms_best'] / r['ms_best']:.2f}x")
+
+    # value parity LAST (its readbacks degrade tunnel dispatch latency)
+    check_compiled_values(cases)
 
 
 if __name__ == "__main__":
