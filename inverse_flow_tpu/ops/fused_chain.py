@@ -441,5 +441,15 @@ def select_fused(solver, x_shape, kernel_size, orders, groups=1):
         return False
     if solver == "fused":
         return True
+    # 'auto' policy is measurement-driven: at PADDED (non-divisor-height)
+    # shapes the compiled kernel wins forward (1.17x at 16x7x7 unit) but
+    # loses fwd+bwd (0.82-0.88x, results/fused_chain_bench_r3.jsonl), so
+    # auto fuses only pad-free shapes, where round-2/3 measured wins in
+    # both modes; explicit 'fused' still covers padded shapes (useful for
+    # the forward/sampling direction).
+    b, c, h, w = x_shape
+    _, pad = choose_block_rows_fused(h, c * w, kernel_size[0])
+    if pad != 0:
+        return False
     return (jax.default_backend() == "tpu"         # 'auto'
             and _manual_or_single_device())

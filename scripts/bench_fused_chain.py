@@ -105,7 +105,13 @@ def check_compiled_values(cases):
     from inverse_flow_tpu.ops import fused_chain as fc
     from inverse_flow_tpu.ops.inv_conv import apply_mask
 
-    worst = 0.0
+    # Thresholds (measured 2026-08-17, /tmp/valcheck.log): compiled vs
+    # INTERPRET of the same kernel agree to ~4e-7 (that comparison isolates
+    # compiled-only divergence and gets the tight bound), while either vs
+    # the sequential XLA reference differs by ~1-2e-4 of pure f32
+    # accumulation-order noise (precomputed T^{-1} matmuls vs sequential
+    # solves) — identical in both modes, so it gets the loose bound.
+    worst_i, worst_r = 0.0, 0.0
     for name, shape, ksize, orders, _ in cases:
         if not fc.fused_viable(shape, ksize, orders):
             continue
@@ -118,20 +124,35 @@ def check_compiled_values(cases):
                               (min(b, 16),) + shape[1:], jnp.float32)
         y = np.asarray(jax.jit(
             lambda x: fc.fused_chain_solve(x, w_effs, orders))(x))
+        saved = fc._INTERPRET
+        fc._INTERPRET = True
+        y_int = np.asarray(jax.jit(
+            lambda x: fc.fused_chain_solve(x, w_effs, orders))(x))
+        fc._INTERPRET = saved
         y_ref = np.asarray(jax.jit(
             lambda x: fc.chain_solve_reference(x, w_effs, orders))(x))
-        err = float(np.max(np.abs(y - y_ref)))
         scale = float(np.max(np.abs(y_ref))) or 1.0
-        rel = err / scale
-        worst = max(worst, rel)
-        status = "OK" if rel < 1e-4 else "FAIL"
-        print(f"# value check {name}: max|d| {err:.3e} (rel {rel:.3e}) "
-              f"{status}", flush=True)
-        assert rel < 1e-4, f"compiled fused kernel diverges on {name}"
-    print(f"# compiled value parity: worst rel err {worst:.3e}", flush=True)
+        rel_i = float(np.max(np.abs(y - y_int))) / scale
+        rel_r = float(np.max(np.abs(y - y_ref))) / scale
+        worst_i, worst_r = max(worst_i, rel_i), max(worst_r, rel_r)
+        ok = rel_i < 1e-5 and rel_r < 1e-3
+        print(f"# value check {name}: vs-interpret {rel_i:.3e} "
+              f"vs-reference {rel_r:.3e} {'OK' if ok else 'FAIL'}",
+              flush=True)
+        assert ok, f"compiled fused kernel diverges on {name}"
+    print(f"# compiled value parity: worst vs-interpret {worst_i:.3e}, "
+          f"worst vs-reference {worst_r:.3e}", flush=True)
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cases", default=None,
+                    help="comma-separated case-name filter")
+    ap.add_argument("--out", default="results/fused_chain_bench.jsonl")
+    ap.add_argument("--no-check", action="store_true")
+    args = ap.parse_args()
+
     import jax
 
     from inverse_flow_tpu import enable_compilation_cache
@@ -156,13 +177,16 @@ def main():
         # ImageNet32 level-2 (8x8 at 48 channels, divisor shape)
         ("imagenet32_L2_unit", (100, 48, 8, 8), (3, 3), O4, 1),
     ]
+    if args.cases:
+        keep = set(args.cases.split(","))
+        cases = [c for c in cases if c[0] in keep]
     all_recs = []
     for case in cases:
-        all_recs += bench_case(*case)
-
-    with open("results/fused_chain_bench.jsonl", "w") as f:
-        for r in all_recs:
-            f.write(json.dumps(r) + "\n")
+        recs = bench_case(*case)
+        all_recs += recs
+        with open(args.out, "a") as f:      # incremental: survive timeouts
+            for r in recs:
+                f.write(json.dumps(r) + "\n")
 
     # summary: fused speedup per (case, mode)
     by = {(r["case"], r["mode"]): r for r in all_recs if r["impl"] == "xla"}
@@ -176,7 +200,8 @@ def main():
                   f"{r['ms_best']:.3f} {xr['ms_best'] / r['ms_best']:.2f}x")
 
     # value parity LAST (its readbacks degrade tunnel dispatch latency)
-    check_compiled_values(cases)
+    if not args.no_check:
+        check_compiled_values(cases)
 
 
 if __name__ == "__main__":
