@@ -223,3 +223,41 @@ def test_fused_under_shard_map_batch_dp():
     y_ref = fc.fused_chain_solve(x, w_effs, ORDERS4)
     np.testing.assert_allclose(np.asarray(y_dp), np.asarray(y_ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_auto_policy_gates(monkeypatch):
+    """'auto' = TPU + partitioning-safe + pad-free; 'fused' = any viable
+    shape. Backend/device checks monkeypatched so the policy logic is
+    testable on CPU."""
+    monkeypatch.setattr(fc.jax, "default_backend", lambda: "tpu")
+
+    div_shape, pad_shape = (16, 4, 14, 14), (16, 16, 7, 7)
+    assert fc.fused_viable(div_shape, (3, 3), ORDERS4)
+    assert fc.fused_viable(pad_shape, (3, 3), ORDERS4)
+
+    # single device: auto fuses divisor shapes, skips padded ones
+    monkeypatch.setattr(fc, "_manual_or_single_device", lambda: True)
+    assert fc.select_fused("auto", div_shape, (3, 3), ORDERS4)
+    assert not fc.select_fused("auto", pad_shape, (3, 3), ORDERS4)
+    assert fc.select_fused("fused", pad_shape, (3, 3), ORDERS4)
+
+    # multi-device automatic partitioning: auto falls back everywhere
+    monkeypatch.setattr(fc, "_manual_or_single_device", lambda: False)
+    assert not fc.select_fused("auto", div_shape, (3, 3), ORDERS4)
+    assert fc.select_fused("fused", div_shape, (3, 3), ORDERS4)
+
+    # the real _manual_or_single_device: Manual mesh context qualifies
+    monkeypatch.undo()
+    from jax.sharding import Mesh, PartitionSpec as P
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("data",))
+    seen = []
+
+    def probe(x):
+        seen.append(fc._manual_or_single_device())
+        return x
+
+    jax.jit(jax.shard_map(probe, mesh=mesh, in_specs=P("data"),
+                          out_specs=P("data")))(jnp.ones((8,)))
+    assert seen == [True]
+    assert not fc._manual_or_single_device()    # top level, 8 devices
