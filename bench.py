@@ -192,15 +192,16 @@ def main():
 
     if args.all or args.config:
         names = [args.config] if args.config else list(CONFIGS)
-        rows = []
-        for name in names:
-            rows.append(bench_config(name, CONFIGS[name]))
-            print(json.dumps(rows[-1]), flush=True)
         if args.all:
             os.makedirs("results", exist_ok=True)
-            with open("results/bench_sweep.jsonl", "w") as f:
-                for r in rows:
-                    f.write(json.dumps(r) + "\n")
+            open("results/bench_sweep.jsonl", "w").close()
+        for name in names:
+            row = bench_config(name, CONFIGS[name])
+            print(json.dumps(row), flush=True)
+            if args.all:
+                # incremental append: a timeout mid-sweep keeps prior rows
+                with open("results/bench_sweep.jsonl", "a") as f:
+                    f.write(json.dumps(row) + "\n")
         return
 
     # default: the flagship single-line contract for the driver
