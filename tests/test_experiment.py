@@ -175,6 +175,54 @@ def test_shard_map_dp_matches_single_device_fused(tmp_path):
 
 
 @pytest.mark.slow
+def test_shard_map_dp_selfnorm_recon_geco_parity(tmp_path):
+    """shard_map DP with the full selfnorm machinery (modified grad +
+    recon loss pmean + GECO weight) must match single-device exactly —
+    the recon/GECO reductions are the part the fused-units test doesn't
+    touch."""
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    from inverse_flow_tpu.distributions import GaussianPrior
+    from inverse_flow_tpu.layers import Flow, SelfNormConv
+
+    def setup(**kw):
+        size = (2, 8, 8)
+        flow = Flow(GaussianPrior(size),
+                    [SelfNormConv(2, 2, (3, 3), bias=True, padding=1)])
+        loaders = synthetic.load_data(size, n_train=32, n_val=16,
+                                      n_test=16, batch_size=16)
+        cfg = ExperimentConfig(name="sn_dp", epochs=1, lr=1e-3,
+                               batch_size=16, warmup_epochs=1,
+                               modified_grad=True, add_recon_grad=True,
+                               recon_loss_weight=1.0, recon_loss_lr=1e-3,
+                               weight_clamp=0.5, log_timing=False,
+                               save_images=False, plot_recon=False,
+                               checkpoint_path=str(tmp_path / "c2.pkl"),
+                               metrics_path=str(tmp_path / "m2.jsonl"),
+                               **kw)
+        return Experiment(flow, *loaders, cfg)
+
+    exp_dp = setup(data_parallel=True)
+    exp_sd = setup()
+    x = next(iter(exp_sd.train_loader))
+    rng = jax.random.PRNGKey(7)
+    st_dp = exp_dp.state
+    st_sd = exp_sd.state
+    for _ in range(3):
+        st_dp, l_dp, r_dp = exp_dp._train_step(st_dp,
+                                               exp_dp._prep_batch(x), rng)
+        st_sd, l_sd, r_sd = exp_sd._train_step(st_sd,
+                                               exp_sd._prep_batch(x), rng)
+    np.testing.assert_allclose(float(l_dp), float(l_sd), rtol=1e-4)
+    np.testing.assert_allclose(float(r_dp), float(r_sd), rtol=1e-4)
+    np.testing.assert_allclose(float(st_dp.recon_weight),
+                               float(st_sd.recon_weight), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(st_dp.params),
+                    jax.tree_util.tree_leaves(st_sd.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
 def test_shard_map_dp_trains_with_stochastic_layers(tmp_path):
     """shard_map DP on the standard (dequantized) tiny Glow: trains to a
     finite decreasing loss. Exact single-device parity is not expected —
