@@ -502,24 +502,38 @@ def test_fc_flow_plot_recon_shapes(tmp_path):
     assert xhat.shape == x.shape
 
 
-def test_dp_rewrites_auto_fused_to_exact(tmp_path):
-    """Data-parallel experiments must not let solver='auto' units pick
-    the Pallas kernel under the jit+NamedSharding step (automatic
-    partitioning of a pallas_call is unvalidated on multi-chip)."""
+def test_dp_solver_policy_per_impl(tmp_path):
+    """The legacy jit+NamedSharding DP impl must not let solver='auto'
+    units pick the Pallas kernel (automatic partitioning of a pallas_call
+    is unvalidated) — and must do the rewrite on a COPY, leaving the
+    caller's flow untouched. The default shard_map impl keeps 'auto'
+    units as-is (each shard runs its own kernel)."""
     from inverse_flow_tpu.layers.inv_flow import InvFlowUnit
     from inverse_flow_tpu.layers.repeated import RepeatedBlock
 
-    flow = build_glow((1, 8, 8), step_kind="inv_flow_unit", num_blocks=1,
-                      block_size=2, coupling_width=16, actnorm=True,
-                      split_prior=False, activation="SLR")
-    loaders = synthetic.load_data((1, 8, 8), n_train=64, n_val=32,
-                                  n_test=32, batch_size=16)
-    cfg = ExperimentConfig(name="dp-rewrite", epochs=1, batch_size=16,
-                           data_parallel=True, log_timing=False,
-                           save_images=False, plot_recon=False,
-                           checkpoint_path=str(tmp_path / "c.pkl"),
-                           metrics_path=str(tmp_path / "m.jsonl"))
-    Experiment(flow, *loaders, cfg)
-    units = [l for blk in flow.layers if isinstance(blk, RepeatedBlock)
-             for l in blk.step_layers if isinstance(l, InvFlowUnit)]
-    assert units and all(u.solver == "exact" for u in units)
+    def units_of(flow):
+        return [l for blk in flow.layers if isinstance(blk, RepeatedBlock)
+                for l in blk.step_layers if isinstance(l, InvFlowUnit)]
+
+    def make(impl):
+        flow = build_glow((1, 8, 8), step_kind="inv_flow_unit",
+                          num_blocks=1, block_size=2, coupling_width=16,
+                          actnorm=True, split_prior=False, activation="SLR")
+        loaders = synthetic.load_data((1, 8, 8), n_train=64, n_val=32,
+                                      n_test=32, batch_size=16)
+        cfg = ExperimentConfig(name="dp-rewrite", epochs=1, batch_size=16,
+                               data_parallel=True, data_parallel_impl=impl,
+                               log_timing=False, save_images=False,
+                               plot_recon=False,
+                               checkpoint_path=str(tmp_path / "c.pkl"),
+                               metrics_path=str(tmp_path / "m.jsonl"))
+        return flow, Experiment(flow, *loaders, cfg)
+
+    caller_flow, exp = make("jit")
+    assert all(u.solver == "exact" for u in units_of(exp.flow))
+    # the caller's flow is NOT mutated (round-2 VERDICT weak-4)
+    assert all(u.solver == "auto" for u in units_of(caller_flow))
+
+    caller_flow, exp = make("shard_map")
+    assert exp.flow is caller_flow
+    assert all(u.solver == "auto" for u in units_of(exp.flow))
