@@ -106,10 +106,16 @@ def _batch_tile(b, n, nb, rcw, kcw):
     if cap < 8:
         return None
     if b <= cap:
-        return b
+        return b          # one tile == the whole (padded) batch dim: the
+                          # Pallas sublane rule allows full-dim blocks
     steps = -(-b // cap)
     bt = -(-(-(-b // steps)) // 8) * 8                   # even split, ^8
-    return min(bt, cap)
+    bt = min(bt, cap)
+    # Multi-tile blocks MUST keep the sublane (second-to-last) dim a
+    # multiple of 8 — min() with the cap can break that (found compiled
+    # on TPU at imagenet32 batch 256: cap=55 -> bt=55 rejected by the
+    # Pallas lowering; interpret mode never enforces it).
+    return bt - bt % 8
 
 
 def fused_viable(x_shape, kernel_size, orders, groups: int = 1):

@@ -76,3 +76,20 @@ def test_batch_tile_even_split():
     assert steps * bt - 1000 < bt            # pad < one tile
     # impossible budgets refuse
     assert _batch_tile(100, 4, 64, 4096, 2048) is None
+
+
+def test_batch_tile_cap_keeps_sublane_multiple():
+    """Regression (found compiled on TPU, imagenet32 batch 256): when the
+    even-split tile exceeds the VMEM cap, the capped tile must still be a
+    multiple of 8 — the Pallas sublane rule applies to every non-full
+    block, and interpret mode never enforces it."""
+    n, nb, rcw, kcw = 4, 8, 384, 768     # imagenet32 L1 4-order numbers
+    bt = _batch_tile(256, n, nb, rcw, kcw)
+    assert bt is not None and (bt % 8 == 0 or bt == 256)
+    for b in (100, 128, 256, 512, 1000, 1024):
+        for nb_ in (2, 4, 8):
+            bt = _batch_tile(b, 4, nb_, 384, 768)
+            if bt is None:
+                continue
+            steps = -(-b // bt)
+            assert bt % 8 == 0 or steps == 1, (b, nb_, bt)
