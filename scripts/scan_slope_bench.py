@@ -1,0 +1,225 @@
+"""True device-time measurement on the tunneled backend (slope method).
+
+Round-3 discovery (2026-08-17): ``jax.block_until_ready`` on this
+backend returns at enqueue-ack, NOT device completion — a chained
+4096^3 bf16 matmul scan "measured" 308 PFLOP/s, ~1500x the v5e peak
+(/tmp/sol_probe.log). Every window timing that used block_until_ready
+as its barrier therefore measured the tunnel's dispatch rate, not the
+device. The only true completion barrier is a device->host VALUE read,
+which costs an unknown session-dependent constant and degrades later
+dispatch latency.
+
+This harness cancels every per-dispatch constant instead of trying to
+avoid it:
+
+  1. build TWO programs that run the train step K times INSIDE one
+     executable (``lax.scan`` over the step body) for K = K1 (small)
+     and K = K2 (large);
+  2. sync every trial with a single scalar ``float()`` read;
+  3. interleave A/B trials in one session and take per-pair slopes
+     ``(T_K2 - T_K1) / (K2 - K1)``.
+
+Per-step device time falls out; dispatch ack, tunnel RTT, read cost and
+their session-to-session drift cancel pair-wise. A known-FLOPs matmul
+chain (``matmul_bf16`` / ``matmul_f32`` cases) validates the method:
+its slope must land at-or-below the hardware peak, at a plausible MFU.
+
+Usage:
+  python scripts/scan_slope_bench.py matmul_bf16 --k1 8 --k2 40
+  python scripts/scan_slope_bench.py glow_mnist --k1 4 --k2 36
+Writes one JSON row (incrementally) to results/true_step_time.jsonl.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+# ---------------------------------------------------------------------------
+# Cases. Each builder returns (make_program, meta) where
+# make_program(K) -> callable(seed) dispatching ONE executable that runs
+# K chained steps and returns a scalar, and meta carries batch /
+# flops_per_step when known.
+# ---------------------------------------------------------------------------
+
+def _train_case(build_flow, size, batch):
+    def builder():
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from inverse_flow_tpu.data import synthetic
+
+        flow = build_flow()
+        rng = jax.random.PRNGKey(0)
+        x = jnp.asarray(synthetic.smooth_images(batch, size), jnp.float32)
+        params, _ = flow.init(rng, size)
+        params = flow.data_init(params, x, rng=rng)
+        tx = optax.adam(1e-5)
+        opt_state = tx.init(params)
+
+        def one_step(p, o, r):
+            def loss_fn(pp):
+                return -jnp.mean(flow.forward(pp, x, rng=r)[1])
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, o2 = tx.update(grads, o, p)
+            p2 = jax.tree_util.tree_map(lambda a, b: a + b, p, updates)
+            return p2, o2, loss
+
+        def make_program(K):
+            @jax.jit
+            def run_K(p, o, r):
+                def body(carry, i):
+                    pp, oo = carry
+                    pp, oo, loss = one_step(pp, oo, jax.random.fold_in(r, i))
+                    return (pp, oo), loss
+                (_, _), losses = jax.lax.scan(
+                    body, (p, o), jnp.arange(K))
+                return losses[-1]
+
+            def dispatch(seed):
+                return run_K(params, opt_state, jax.random.PRNGKey(seed))
+            return dispatch
+
+        return make_program, {"batch": batch}
+    return builder
+
+
+def _glow_mnist_flow(**kw):
+    from inverse_flow_tpu.models.glow import build_glow
+    args = dict(step_kind="inv_conv_no_pad", num_blocks=2, block_size=16,
+                coupling_width=512, actnorm=True, split_prior=True,
+                activation="Spline", n_bins=5, tail_bound=20.0)
+    args.update(kw)
+    return build_glow((1, 28, 28), **args)
+
+
+def _imagenet32_flow(**kw):
+    from inverse_flow_tpu.models.glow import build_glow
+    args = dict(step_kind="inv_flow_unit", num_blocks=3, block_size=48,
+                coupling_width=128, actnorm=True, split_prior=True,
+                activation="SLR")
+    args.update(kw)
+    return build_glow((3, 32, 32), **args)
+
+
+def _matmul_case(dtype_name, n=4096):
+    def builder():
+        import jax
+        import jax.numpy as jnp
+
+        dt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype_name]
+        a = jax.random.normal(jax.random.PRNGKey(0), (n, n), dt)
+        b = jax.random.normal(jax.random.PRNGKey(1), (n, n), dt)
+
+        def make_program(K):
+            @jax.jit
+            def run_K(a, b):
+                def body(x, _):
+                    y = jnp.dot(x, b, preferred_element_type=dt) * (1.0 / n)
+                    return y, None
+                y, _ = jax.lax.scan(body, a, None, length=K)
+                return jnp.sum(y.astype(jnp.float32))
+
+            def dispatch(seed):
+                return run_K(a * (1.0 + seed * 1e-6), b)
+            return dispatch
+
+        return make_program, {"flops_per_step": 2.0 * n * n * n}
+    return builder
+
+
+CASES = {
+    # validation: known FLOPs, fast compile
+    "matmul_bf16": _matmul_case("bfloat16"),
+    "matmul_f32": _matmul_case("float32"),
+    # flagship
+    "glow_mnist": _train_case(_glow_mnist_flow, (1, 28, 28), 100),
+    "glow_mnist_bf16": _train_case(
+        lambda: _glow_mnist_flow(coupling_dtype="bfloat16"), (1, 28, 28),
+        100),
+    # production scale
+    "imagenet32": _train_case(_imagenet32_flow, (3, 32, 32), 100),
+    "imagenet32_b1024_remat": _train_case(
+        lambda: _imagenet32_flow(remat=True), (3, 32, 32), 1024),
+    "imagenet32_b1024": _train_case(
+        lambda: _imagenet32_flow(), (3, 32, 32), 1024),
+    "imagenet32_b1024_remat_bf16": _train_case(
+        lambda: _imagenet32_flow(remat=True, coupling_dtype="bfloat16"),
+        (3, 32, 32), 1024),
+    "imagenet32_b2048_remat": _train_case(
+        lambda: _imagenet32_flow(remat=True), (3, 32, 32), 2048),
+    "imagenet32_b4096_remat": _train_case(
+        lambda: _imagenet32_flow(remat=True), (3, 32, 32), 4096),
+    "imagenet32_b256": _train_case(
+        lambda: _imagenet32_flow(), (3, 32, 32), 256),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("case", choices=sorted(CASES))
+    ap.add_argument("--k1", type=int, default=4)
+    ap.add_argument("--k2", type=int, default=36)
+    ap.add_argument("--trials", type=int, default=4)
+    ap.add_argument("--out", default="results/true_step_time.jsonl")
+    args = ap.parse_args()
+
+    from inverse_flow_tpu import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    print(f"# device: {jax.devices()[0]}", flush=True)
+
+    make_program, meta = CASES[args.case]()
+
+    t0 = time.time()
+    prog_a = make_program(args.k1)
+    va = float(prog_a(0))              # compile + run + drain-read
+    compile_a = round(time.time() - t0, 1)
+    t0 = time.time()
+    prog_b = make_program(args.k2)
+    vb = float(prog_b(0))
+    compile_b = round(time.time() - t0, 1)
+    print(f"# compiled K={args.k1} in {compile_a}s (v={va:.4g}), "
+          f"K={args.k2} in {compile_b}s (v={vb:.4g})", flush=True)
+
+    slopes, pairs = [], []
+    for t in range(args.trials):
+        t0 = time.perf_counter()
+        float(prog_a(t + 1))
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(prog_b(t + 1))
+        tb = time.perf_counter() - t0
+        slope_ms = (tb - ta) / (args.k2 - args.k1) * 1e3
+        slopes.append(slope_ms)
+        pairs.append({"t_k1_s": round(ta, 4), "t_k2_s": round(tb, 4),
+                      "slope_ms": round(slope_ms, 4)})
+        print(json.dumps(pairs[-1]), flush=True)
+
+    med = float(np.median(slopes))
+    row = {"case": args.case, "k1": args.k1, "k2": args.k2,
+           "trials": args.trials,
+           "ms_per_step_median": round(med, 4),
+           "ms_per_step_all": [round(s, 4) for s in slopes],
+           "compile_s": [compile_a, compile_b],
+           "pairs": pairs, **meta}
+    if "flops_per_step" in meta and med > 0:
+        row["tflops"] = round(meta["flops_per_step"] / (med * 1e-3) / 1e12,
+                              2)
+    if "batch" in meta and med > 0:
+        row["images_per_sec"] = round(meta["batch"] / (med * 1e-3), 1)
+    print(json.dumps(row), flush=True)
+    with open(args.out, "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+
+if __name__ == "__main__":
+    main()
