@@ -4,19 +4,28 @@ Flagship metric (default, no args): the if_glow_mnist configuration
 (L=2 blocks x K=16 steps, coupling width 512, batch 100, 28x28 inputs —
 reference ``inf/experiments/if_glow_mnist.py:150-159``), train step time.
 
-``--all`` (round-2 VERDICT item 8): one sweep over the config families
-BASELINE names — glow_mnist, imagenet32 production, timescaling shapes,
-and the mixed-precision coupling policy — writing one JSONL row per
-config to ``results/bench_sweep.jsonl`` with step time, sampling
-latency, samples/sec/chip, and MFU, so round-over-round comparison is
-mechanical. ``--config NAME`` runs a single row.
+``--all`` sweeps the config families BASELINE names (glow_mnist,
+imagenet32 production at reference and throughput-optimal batch,
+timescaling shapes, precision variants), writing one JSONL row per
+config to ``results/bench_sweep.jsonl``. ``--config NAME`` runs one row.
 
-Timing methodology (all rows): chained steps (each consumes the previous
-step's outputs) between two syncs, best of 3 trials — robust on
-async/tunneled backends where per-call syncs pay the full RTT
-(the reference's CUDA-event convention, ``inf/train/experiment.py:
-259-262,326-331``); sampling = n=1 reverses chained INSIDE one program
-(lax.scan), the reference's per-image convention (``:377-400``).
+Timing methodology — SLOPE METHOD (round 3). ``jax.block_until_ready``
+is not a completion barrier on every backend (on the tunneled axon
+backend it returns at enqueue-ack: a chained 4096^3 bf16 matmul scan
+"measured" 308 PFLOP/s, ~1500x the v5e peak — which is how rounds 1-2
+recorded 0.65 ms for a step whose true device time is 182 ms). The only
+universally-true barrier is a device->host value read, whose cost is an
+unknown session constant. So every number here is a SLOPE: run the step
+K times INSIDE one executable (``lax.scan`` over the step body), sync
+each trial with a single scalar read, and report
+``(T(K2) - T(K1)) / (K2 - K1)`` from interleaved same-session trials —
+per-dispatch constants cancel pair-wise. Validation: a known-FLOPs
+matmul chain measures 190.7 TFLOP/s = 96.8% of the v5e bf16 peak
+(``--validate`` re-runs it). This methodology is exact on healthy
+backends too (the scan adds only the carry copy), so numbers are
+comparable across environments. Sampling latency is the same slope over
+n=1 draws chained inside one program (the reference's per-image
+convention, ``inf/train/experiment.py:377-400``).
 """
 
 from __future__ import annotations
@@ -42,13 +51,13 @@ def _glow_mnist(**kw):
     return build_glow((1, 28, 28), **args), (1, 28, 28), 100
 
 
-def _glow_imagenet32(**kw):
+def _glow_imagenet32(batch=100, **kw):
     from inverse_flow_tpu.models.glow import build_glow
     args = dict(step_kind="inv_flow_unit", num_blocks=3, block_size=48,
                 coupling_width=128, actnorm=True, split_prior=True,
                 activation="SLR")
     args.update(kw)
-    return build_glow((3, 32, 32), **args), (3, 32, 32), 100
+    return build_glow((3, 32, 32), **args), (3, 32, 32), batch
 
 
 def _timescale(s, **kw):
@@ -65,8 +74,9 @@ CONFIGS = {
         step_kind="inv_flow_unit"),   # solver='auto': fused on TPU
     "glow_mnist_bf16_couplings": lambda: _glow_mnist(
         coupling_dtype="bfloat16"),
-    # production scale
+    # production scale: reference batch and throughput-optimal batch
     "imagenet32": lambda: _glow_imagenet32(),
+    "imagenet32_b1024": lambda: _glow_imagenet32(batch=1024),
     "imagenet32_exact": lambda: _glow_imagenet32(
         step_kind="inv_flow_unit_exact"),
     "imagenet32_bf16_couplings": lambda: _glow_imagenet32(
@@ -76,87 +86,127 @@ CONFIGS = {
     "timescale_s128": lambda: _timescale(128),
 }
 
+# (k1, k2) scan lengths per config — k2 sized so one K2 trial stays in
+# single-digit seconds at the measured step times.
+_K_PAIRS = {"imagenet32_b1024": (2, 10)}
+_K_DEFAULT = (4, 20)
 
-def bench_config(name, build, sample_latency=True):
+
+# ---------------------------------------------------------------------------
+# Slope timing core
+# ---------------------------------------------------------------------------
+
+def slope_time(make_program, k1, k2, trials=3):
+    """Median of per-pair slopes (ms per inner step) over interleaved
+    same-session trials; compile/first-run happens before timing."""
+    compile_s = []
+    progs = []
+    for k in (k1, k2):
+        t0 = time.time()
+        p = make_program(k)
+        float(p(0))                       # compile + run + drain-read
+        compile_s.append(round(time.time() - t0, 1))
+        progs.append(p)
+    pa, pb = progs
+    slopes = []
+    for t in range(trials):
+        t0 = time.perf_counter()
+        float(pa(t + 1))
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(pb(t + 1))
+        tb = time.perf_counter() - t0
+        slopes.append((tb - ta) / (k2 - k1) * 1e3)
+    return float(np.median(slopes)), slopes, compile_s
+
+
+def _make_train_scan(flow, size, batch):
     import jax
     import jax.numpy as jnp
     import optax
 
     from inverse_flow_tpu.data import synthetic
 
-    flow, size, batch = build()
     rng = jax.random.PRNGKey(0)
-    params, _ = flow.init(rng, size)
     x = jnp.asarray(synthetic.smooth_images(batch, size), jnp.float32)
+    params, _ = flow.init(rng, size)
     params = flow.data_init(params, x, rng=rng)
-
     tx = optax.adam(1e-5)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def train_step(params, opt_state, x, rng):
-        def loss_fn(p):
-            return -jnp.mean(flow.forward(p, x, rng=rng)[1])
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state2 = tx.update(grads, opt_state, params)
-        params2 = jax.tree_util.tree_map(lambda a, b: a + b, params, updates)
-        return params2, opt_state2, loss
+    def one_step(p, o, r):
+        def loss_fn(pp):
+            return -jnp.mean(flow.forward(pp, x, rng=r)[1])
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o2 = tx.update(grads, o, p)
+        p2 = jax.tree_util.tree_map(lambda a, b: a + b, p, updates)
+        return p2, o2, loss
 
-    params, opt_state, loss = train_step(params, opt_state, x, rng)
-    jax.block_until_ready(loss)
+    def make_program(K):
+        @jax.jit
+        def run_K(p, o, r):
+            def body(carry, i):
+                pp, oo = carry
+                pp, oo, loss = one_step(pp, oo, jax.random.fold_in(r, i))
+                return (pp, oo), loss
+            _, losses = jax.lax.scan(body, (p, o), jnp.arange(K))
+            return losses[-1]
 
-    step_trials = []
-    for trial in range(3):
-        n_iter = 60
-        t0 = time.perf_counter()
-        for i in range(n_iter):
-            params, opt_state, loss = train_step(
-                params, opt_state, x, jax.random.fold_in(rng, i))
-        jax.block_until_ready(loss)
-        step_trials.append((time.perf_counter() - t0) / n_iter * 1e3)
-    step_ms = min(step_trials)
+        return lambda seed: run_K(params, opt_state, jax.random.PRNGKey(seed))
+
+    train_step_for_cost = (one_step, params, opt_state, rng)
+    return make_program, train_step_for_cost
+
+
+def _make_sample_scan(flow, params):
+    import jax
+    import jax.numpy as jnp
+
+    def make_program(K):
+        @jax.jit
+        def run_K(p, r):
+            def body(acc, rr):
+                return acc + jnp.sum(flow.sample(p, rr, 1)), None
+            acc, _ = jax.lax.scan(body, 0.0, jax.random.split(r, K))
+            return acc
+
+        return lambda seed: run_K(params, jax.random.PRNGKey(seed + 100))
+    return make_program
+
+
+def bench_config(name, build, sample_latency=True, trials=3):
+    import jax
+
+    flow, size, batch = build()
+    k1, k2 = _K_PAIRS.get(name, _K_DEFAULT)
+    make_train, cost_parts = _make_train_scan(flow, size, batch)
+    step_ms, slopes, compile_s = slope_time(make_train, k1, k2, trials)
 
     sample_ms = None
     if sample_latency:
-        n_inner = 8
+        one_step, params, opt_state, rng = cost_parts
+        make_sample = _make_sample_scan(flow, params)
+        sample_ms, _, _ = slope_time(make_sample, 4, 12, trials=2)
 
-        @jax.jit
-        def sample_n(p, r):
-            def body(acc, rr):
-                return acc + jnp.sum(flow.sample(p, rr, 1)), None
-            acc, _ = jax.lax.scan(body, 0.0, jax.random.split(r, n_inner))
-            return acc
-
-        y = sample_n(params, rng)
-        jax.block_until_ready(y)
-        trials = []
-        for trial in range(3):
-            n_s = 30
-            t0 = time.perf_counter()
-            for i in range(n_s):
-                y = sample_n(params, jax.random.fold_in(
-                    rng, y.astype(jnp.uint32) * 0 + i))
-            jax.block_until_ready(y)
-            trials.append((time.perf_counter() - t0) / n_s / n_inner * 1e3)
-        sample_ms = min(trials)
-
-    # analytic FLOPs of the compiled step (XLA cost model) -> achieved
-    # FLOP/s and MFU. NOTE on the denominator (round-2 VERDICT weak-2):
-    # the coupling nets (the dominant FLOPs) run at DEFAULT matmul
-    # precision (bf16 multiply, f32 accumulate on TPU) and the solver ops
-    # at HIGHEST, so the bf16 peak is the right reference for the config's
-    # compute ceiling; the 'precision' field records the mix.
+    # analytic FLOPs of ONE train step (XLA cost model) -> achieved
+    # FLOP/s / MFU against the bf16 peak (couplings run at default
+    # precision = bf16 multiply / f32 accumulate; solver at HIGHEST).
     step_flops = None
     try:
-        ca = train_step.lower(params, opt_state, x, rng).compile() \
-                       .cost_analysis()
+        import jax.numpy as jnp
+        import optax  # noqa: F401
+        one_step, params, opt_state, rng = cost_parts
+
+        @jax.jit
+        def _single(p, o, r):
+            return one_step(p, o, r)
+        ca = _single.lower(params, opt_state, rng).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         step_flops = float(ca.get("flops", 0.0)) or None
     except Exception:
         pass
-    import jax as _jax
-    dev_kind = getattr(_jax.devices()[0], "device_kind", "")
+    dev_kind = getattr(jax.devices()[0], "device_kind", "")
     peak_tflops = {"TPU v5 lite": 197.0, "TPU v5": 459.0,
                    "TPU v4": 275.0, "TPU v6 lite": 918.0}.get(dev_kind)
     achieved = (step_flops / (step_ms * 1e-3) / 1e12 if step_flops else None)
@@ -166,6 +216,7 @@ def bench_config(name, build, sample_latency=True):
     return {
         "config": name,
         "train_step_ms": round(step_ms, 3),
+        "train_step_ms_slopes": [round(s, 3) for s in slopes],
         "sample_latency_ms_per_image": (round(sample_ms, 3)
                                         if sample_ms else None),
         "batch_size": batch,
@@ -175,9 +226,36 @@ def bench_config(name, build, sample_latency=True):
         "achieved_tflops": round(achieved, 3) if achieved else None,
         "mfu_pct_of_bf16_peak": round(mfu, 3) if mfu else None,
         "peak_tflops_assumed": peak_tflops,
-        "precision": "couplings=default(bf16 mul/f32 acc), solver=highest",
-        "device": str(_jax.devices()[0]),
+        "methodology": "slope(scan-K in-program, value-read synced)",
+        "scan_k": [k1, k2],
+        "compile_s": compile_s,
+        "device": str(jax.devices()[0]),
     }
+
+
+def validate_barrier():
+    """Known-FLOPs matmul-chain slope; must land at-or-below peak."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 4096
+    a = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.bfloat16)
+    b = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.bfloat16)
+
+    def make_program(K):
+        @jax.jit
+        def run_K(a, b):
+            def body(x, _):
+                return (jnp.dot(x, b, preferred_element_type=jnp.bfloat16)
+                        * (1.0 / n)), None
+            y, _ = jax.lax.scan(body, a, None, length=K)
+            return jnp.sum(y.astype(jnp.float32))
+        return lambda seed: run_K(a * (1.0 + seed * 1e-6), b)
+
+    ms, slopes, _ = slope_time(make_program, 8, 40, trials=3)
+    tflops = 2.0 * n ** 3 / (ms * 1e-3) / 1e12
+    return {"matmul_chain_ms": round(ms, 4), "tflops": round(tflops, 1),
+            "pct_of_bf16_peak": round(100 * tflops / 197.0, 1)}
 
 
 def main():
@@ -185,49 +263,16 @@ def main():
     ap.add_argument("--all", action="store_true",
                     help="sweep all configs -> results/bench_sweep.jsonl")
     ap.add_argument("--config", default=None, help="run one named config")
-    ap.add_argument("--no-retry", action="store_true",
-                    help="single in-process measurement (no session retry)")
+    ap.add_argument("--validate", action="store_true",
+                    help="run the known-FLOPs barrier validation first")
     args = ap.parse_args()
-
-    # Session-robust flagship measurement: the tunneled backend's
-    # per-dispatch latency varies ~3.5x BETWEEN sessions (the same
-    # program measured 0.59 and 2.06 ms/step in two processes on
-    # 2026-08-17; within a session the chained-window numbers are
-    # stable). A backend session is per-process, so retry the flagship
-    # measurement in fresh subprocesses and report the best session —
-    # the compilation cache makes retries cheap. `--no-retry` opts out.
-    if (not args.all and not args.config and not args.no_retry
-            and os.environ.get("IFT_BENCH_CHILD") != "1"):
-        import subprocess
-        import sys
-        best, attempts = None, 0
-        for i in range(3):
-            attempts = i + 1
-            env = dict(os.environ, IFT_BENCH_CHILD="1")
-            try:
-                r = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__)],
-                    capture_output=True, text=True, env=env, timeout=1200)
-            except subprocess.TimeoutExpired:
-                continue
-            for line in r.stdout.splitlines():
-                try:
-                    row = json.loads(line)
-                except ValueError:
-                    continue
-                if row.get("metric") == "glow_mnist_train_step" and (
-                        best is None or row["value"] < best["value"]):
-                    best = row
-            if best is not None and best["value"] < 1.0:
-                break                      # clearly a healthy session
-        if best is not None:
-            best["extra"]["session_attempts"] = attempts
-            print(json.dumps(best))
-            return
-        # all children failed: fall through to the in-process path
 
     from inverse_flow_tpu import enable_compilation_cache
     enable_compilation_cache()
+
+    if args.validate:
+        print(json.dumps({"barrier_validation": validate_barrier()}),
+              flush=True)
 
     if args.all or args.config:
         names = [args.config] if args.config else list(CONFIGS)
@@ -261,8 +306,11 @@ def main():
         "extra": {k: v for k, v in row.items()
                   if k not in ("config", "train_step_ms")},
     }
+    result["extra"]["note"] = (
+        "slope-method device time; rounds 1-2 reported 0.65 ms for this "
+        "metric through a barrier that measured tunnel enqueue rate, not "
+        "device completion — not comparable")
     print(json.dumps(result))
-
 
 
 if __name__ == "__main__":
