@@ -93,17 +93,26 @@ def rational_quadratic_spline(
         bin_idx = _searchsorted(cumheights, inputs)
     else:
         bin_idx = _searchsorted(cumwidths, inputs)
-    bin_idx = jnp.clip(bin_idx, 0, num_bins - 1)[..., None]
+    bin_idx = jnp.clip(bin_idx, 0, num_bins - 1)
+
+    # Bin-parameter selection as a one-hot contraction over the (tiny) bin
+    # axis instead of take_along_axis: a per-element gather along the lane
+    # dimension lowers to an XLA "custom fusion" gather whose VJP is a
+    # scatter-add — measured 93% of the whole Glow-MNIST train step on TPU
+    # v5e (results/step_profile.md: 7 forward gathers + 7 backward scatters
+    # = 169.7 of 182.5 ms). The one-hot form is exact (one unit weight per
+    # row; x*1+0 terms), elementwise, and fuses into the surrounding math.
+    onehot = jax.nn.one_hot(bin_idx, num_bins, dtype=inputs.dtype)
 
     def gather(t):
-        return jnp.take_along_axis(t, bin_idx, axis=-1)[..., 0]
+        return jnp.sum(t * onehot, axis=-1)
 
-    input_cumwidths = gather(cumwidths)
+    input_cumwidths = gather(cumwidths[..., :-1])
     input_bin_widths = gather(widths)
-    input_cumheights = gather(cumheights)
+    input_cumheights = gather(cumheights[..., :-1])
     delta = heights / widths
     input_delta = gather(delta)
-    input_derivatives = gather(derivatives)
+    input_derivatives = gather(derivatives[..., :-1])
     input_derivatives_plus_one = gather(derivatives[..., 1:])
     input_heights = gather(heights)
 
@@ -192,11 +201,14 @@ def monotone_cubic_b_spline(x, unnormalized_coeffs, inverse=False,
     def eval_bin(i, t):
         """Spline value and d/dx at local parameter t of bin i (both in
         NORMALIZED output coordinates)."""
-        idx = i[..., None]
-        c0 = jnp.take_along_axis(c, idx, axis=-1)[..., 0]
-        c1 = jnp.take_along_axis(c, idx + 1, axis=-1)[..., 0]
-        c2 = jnp.take_along_axis(c, idx + 2, axis=-1)[..., 0]
-        c3 = jnp.take_along_axis(c, idx + 3, axis=-1)[..., 0]
+        # One-hot contraction instead of take_along_axis — per-element lane
+        # gathers (and their scatter-add VJPs) are pathologically slow on
+        # TPU; see the note in rational_quadratic_spline.
+        oh = jax.nn.one_hot(i, k, dtype=c.dtype)
+        c0 = jnp.sum(c[..., 0:k] * oh, axis=-1)
+        c1 = jnp.sum(c[..., 1:k + 1] * oh, axis=-1)
+        c2 = jnp.sum(c[..., 2:k + 2] * oh, axis=-1)
+        c3 = jnp.sum(c[..., 3:k + 3] * oh, axis=-1)
         omt = 1.0 - t
         f = (c0 * omt ** 3 + c1 * (3 * t ** 3 - 6 * t ** 2 + 4)
              + c2 * (-3 * t ** 3 + 3 * t ** 2 + 3 * t + 1) + c3 * t ** 3) / 6.0

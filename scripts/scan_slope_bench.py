@@ -160,6 +160,26 @@ CASES = {
         lambda: _imagenet32_flow(remat=True), (3, 32, 32), 4096),
     "imagenet32_b256": _train_case(
         lambda: _imagenet32_flow(), (3, 32, 32), 256),
+    # solver A/B at both scales (true device-time verdicts)
+    "imagenet32_exact": _train_case(
+        lambda: _imagenet32_flow(step_kind="inv_flow_unit_exact"),
+        (3, 32, 32), 100),
+    "imagenet32_b1024_remat_exact": _train_case(
+        lambda: _imagenet32_flow(step_kind="inv_flow_unit_exact",
+                                 remat=True), (3, 32, 32), 1024),
+    "glow_mnist_units": _train_case(
+        lambda: _glow_mnist_flow(step_kind="inv_flow_unit"), (1, 28, 28),
+        100),
+    "glow_mnist_units_exact": _train_case(
+        lambda: _glow_mnist_flow(step_kind="inv_flow_unit_exact"),
+        (1, 28, 28), 100),
+    # component attribution variants (flagship)
+    "glow_mnist_noact": _train_case(
+        lambda: _glow_mnist_flow(activation="None"), (1, 28, 28), 100),
+    "glow_mnist_slr": _train_case(
+        lambda: _glow_mnist_flow(activation="SLR"), (1, 28, 28), 100),
+    "glow_mnist_conv1x1": _train_case(
+        lambda: _glow_mnist_flow(step_kind="conv1x1"), (1, 28, 28), 100),
 }
 
 
