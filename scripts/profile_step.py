@@ -121,6 +121,13 @@ def summarize(trace_dir: str, out_md: str, config: str, steps: int,
         f.write(f"Captured {steps} chained train steps on the live "
                 f"backend; wall {wall_ms:.3f} ms/step. Total device self "
                 f"time {total_us / steps / 1e3:.3f} ms/step.\n\n")
+        f.write(
+            "Methodology note: on the tunneled backend, trace capture "
+            "serializes dispatch so the WALL number is meaningless, but "
+            "the per-op DEVICE SELF TIME is accurate — the pre-fix "
+            "flagship profile's 182.3 ms/step total matched the "
+            "independently slope-measured 182.5 ms/step "
+            "(results/true_step_time.jsonl) to 0.1%.\n\n")
         f.write("## By op category\n\n")
         f.write("| category | ms/step | share |\n|---|---|---|\n")
         for cat, us in cats:
