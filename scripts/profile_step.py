@@ -133,13 +133,18 @@ def summarize(trace_dir: str, out_md: str, config: str, steps: int,
         for cat, us in cats:
             f.write(f"| {cat} | {us / steps / 1e3:.4f} | "
                     f"{100 * us / total_us:.1f}% |\n")
-        f.write("\n## Top 15 HLO ops by self time\n\n")
+        f.write("\n## Top 40 HLO ops by self time\n\n")
         f.write("| share | ms/step | category | op |\n|---|---|---|---|\n")
-        for r in rows[:15]:
+        for r in rows[:40]:
             f.write(f"| {100 * r['self_us'] / total_us:.1f}% | "
                     f"{r['self_us'] / steps / 1e3:.4f} | {r['category']} | "
                     f"`{r['op']}` |\n")
         f.write("\nGenerated by `scripts/profile_step.py`.\n")
+    # machine-readable full table alongside the digest
+    with open(out_md.replace(".md", "_ops.jsonl"), "w") as f:
+        for r in rows:
+            f.write(json.dumps({**r, "ms_per_step": r["self_us"] / steps
+                                / 1e3}) + "\n")
     print(f"# wrote {out_md}")
     for cat, us in cats[:8]:
         print(f"#   {cat}: {100 * us / total_us:.1f}%")
