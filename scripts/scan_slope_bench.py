@@ -173,6 +173,21 @@ CASES = {
     "glow_mnist_units_exact": _train_case(
         lambda: _glow_mnist_flow(step_kind="inv_flow_unit_exact"),
         (1, 28, 28), 100),
+    # timescaling (paper Fig. 4 convention: 2 inv-conv layers, batch 128)
+    **{f"timescale_s{s}": _train_case(
+        (lambda s=s: __import__(
+            "inverse_flow_tpu.models.glow", fromlist=["build_cnn_flow"]
+        ).build_cnn_flow((1, s, s), step_kind="inv_conv_no_pad",
+                         num_blocks=1, block_size=2, activation="None",
+                         kernel=(2, 2))), (1, s, s), 128)
+       for s in (16, 32, 64, 128)},
+    **{f"timescale_tall_h{h}": _train_case(
+        (lambda h=h: __import__(
+            "inverse_flow_tpu.models.glow", fromlist=["build_cnn_flow"]
+        ).build_cnn_flow((1, h, 1), step_kind="inv_conv_no_pad",
+                         num_blocks=1, block_size=2, activation="None",
+                         kernel=(2, 2))), (1, h, 1), 128)
+       for h in (128, 512, 2048)},
     # component attribution variants (flagship)
     "glow_mnist_noact": _train_case(
         lambda: _glow_mnist_flow(activation="None"), (1, 28, 28), 100),
