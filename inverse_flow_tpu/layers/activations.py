@@ -149,18 +149,19 @@ class SplineActivation(FlowLayer):
         return params, shape
 
     def _spline_params(self, params, x):
-        # Return params at their NATURAL (batch-1 / unbatched) shape — the
-        # spline math broadcasts against x, so the knot construction
-        # (softmax/cumsum/pad) runs once per position instead of being
-        # tiled x.shape[0]-fold; only the bin-select one-hot contraction
-        # touches batch-expanded data. (The old jnp.tile was required by
-        # take_along_axis, which is gone — see layers/splines.py.)
         if self.individual_weights:
-            return params["widths"], params["heights"], params["derivs"]
+            reps = (x.shape[0],) + (1,) * (params["widths"].ndim - 1)
+            return (jnp.tile(params["widths"], reps),
+                    jnp.tile(params["heights"], reps),
+                    jnp.tile(params["derivs"], reps))
         ones = (1,) * x.ndim
-        return (params["widths"].reshape(ones + (-1,)),
-                params["heights"].reshape(ones + (-1,)),
-                params["derivs"].reshape(ones + (-1,)))
+        w = jnp.broadcast_to(params["widths"].reshape(ones + (-1,)),
+                             x.shape + (self.n_bins,))
+        h = jnp.broadcast_to(params["heights"].reshape(ones + (-1,)),
+                             x.shape + (self.n_bins,))
+        d = jnp.broadcast_to(params["derivs"].reshape(ones + (-1,)),
+                             x.shape + (self.n_bins - 1,))
+        return w, h, d
 
     def forward(self, params, x, rng=None):
         w, h, d = self._spline_params(params, x)
