@@ -71,7 +71,7 @@ CONFIGS = {
     # flagship + solver/precision variants
     "glow_mnist": lambda: _glow_mnist(),
     "glow_mnist_fused_units": lambda: _glow_mnist(
-        step_kind="inv_flow_unit"),   # solver='auto': fused on TPU
+        step_kind="inv_flow_unit_fused"),   # explicit fused Pallas opt-in
     "glow_mnist_bf16_couplings": lambda: _glow_mnist(
         coupling_dtype="bfloat16"),
     # production scale: reference batch and throughput-optimal batch

@@ -66,14 +66,13 @@ class InvFlow(FlowLayer):
     order: str = "TL"
     groups: int = 1
     # 'exact'  = blocked triangular solve (custom-VJP parallel backprop) —
-    #            the DEFAULT: two end-to-end ImageNet32 (L=3xK=48)
-    #            sessions put single-order fused at -13% and +48% vs the
-    #            XLA composition — inside the measurement environment's
-    #            session variance band, so the conservative,
-    #            sharding-safe path stays default (whole 4-order units
-    #            win consistently; InvFlowUnit keeps 'auto');
-    # 'auto'   = fused Pallas solve on TPU at viable shapes, else exact;
-    # 'fused'  = single-order fused Pallas kernel (ops/fused_chain.py);
+    #            the DEFAULT, and what 'auto' resolves to: the slope
+    #            method (results/true_step_time.jsonl) shows the exact
+    #            composition beating the fused Pallas kernel end-to-end
+    #            in training at every measured shape class (1.2-1.35x);
+    # 'auto'   = alias for 'exact' (kept for config compat);
+    # 'fused'  = single-order fused Pallas kernel (ops/fused_chain.py),
+    #            explicit opt-in;
     # 'jacobi' = height-independent Neumann iterations (implicit-VJP,
     # O(1) memory) — for tall images / fast sampling. ``jacobi_tol > 0``
     # stops early once max|residual| < tol (``jacobi_iters`` becomes an
@@ -158,14 +157,15 @@ class InvFlowUnit(FlowLayer):
     (``ops/fused_chain.py``: flips absorbed into permutation-conjugated
     solve matrices, activations VMEM-resident across orders), falling back
     to the per-layer XLA path when the shape is unsupported. ``'auto'``
-    (default) picks fused on TPU at pad-free viable shapes in
-    partitioning-safe contexts (single device, or manual SPMD under
-    shard_map — the harness's default data-parallel impl) — measured
-    1.22x on the full Glow-MNIST train step (BASELINE.md) — and the XLA
-    composition elsewhere (CPU has no compiled Pallas; padded non-divisor
-    heights lose fwd+bwd, see the round-3 table; jit+NamedSharding
-    automatic partitioning must not split a pallas_call). ``'exact'``
-    always composes the per-layer XLA solves.
+    (default) resolves to ``'exact'`` — the per-layer blocked XLA solve.
+    This is the slope-measured verdict (BASELINE.md "Measurement
+    methodology"): every earlier number favoring the fused kernel was
+    synced with an enqueue-ack barrier; under truthful same-session
+    slope A/Bs the exact composition wins end-to-end training at every
+    measured shape class (imagenet32 unit 1.21-1.25x, glow-mnist unit
+    1.35x, results/true_step_time.jsonl). ``'fused'`` remains an
+    explicit opt-in (value-verified compiled on TPU) for the
+    forward/sampling direction and future shape classes.
     """
 
     channels: int

@@ -434,28 +434,22 @@ def select_fused(solver, x_shape, kernel_size, orders, groups=1):
     """Shared solver-selection policy for InvFlow / InvFlowUnit:
     'exact'/'jacobi' never fuse; 'fused' fuses whenever the shape is
     viable (silently falling back to the exact XLA solve otherwise — the
-    gate is a shape property, not an error); 'auto' additionally requires
-    a TPU default backend AND a partitioning-safe context (single device,
-    or manual SPMD under shard_map — the harness's default data-parallel
-    impl). Under jit+NamedSharding automatic partitioning on a multi-chip
-    mesh, 'auto' falls back to the exact solve, which composes with any
-    sharding; the legacy DP harness additionally rewrites units to
-    'exact' (experiment._exact_solver_layers)."""
-    if solver in ("exact", "jacobi"):
+    gate is a shape property, not an error); 'auto' resolves to the
+    EXACT blocked XLA solve.
+
+    The 'auto'->exact policy is measurement-driven (slope method,
+    results/true_step_time.jsonl, 2026-08-17): every earlier verdict
+    that favored the fused Pallas chain kernel was synced with
+    ``block_until_ready``, which on this backend acks at enqueue — it
+    measured dispatch rate, not device time. Under the truthful slope
+    A/B the exact composition beats the fused kernel end-to-end in
+    training at every measured shape class: imagenet32 unit b100
+    80.1 vs 97.3 ms/step (1.21x), b1024+remat 410.5 vs 514.1 (1.25x),
+    glow-mnist unit b100 14.3 vs 19.3 (1.35x). Explicit
+    ``solver='fused'`` remains available (and value-verified compiled
+    on TPU) for the forward/sampling direction and future shapes."""
+    if solver in ("exact", "jacobi", "auto"):
         return False
     if not fused_viable(x_shape, kernel_size, orders, groups=groups):
         return False
-    if solver == "fused":
-        return True
-    # 'auto' policy is measurement-driven: at PADDED (non-divisor-height)
-    # shapes the compiled kernel wins forward (1.17x at 16x7x7 unit) but
-    # loses fwd+bwd (0.82-0.88x, results/fused_chain_bench_r3.jsonl), so
-    # auto fuses only pad-free shapes, where round-2/3 measured wins in
-    # both modes; explicit 'fused' still covers padded shapes (useful for
-    # the forward/sampling direction).
-    b, c, h, w = x_shape
-    _, pad = choose_block_rows_fused(h, c * w, kernel_size[0])
-    if pad != 0:
-        return False
-    return (jax.default_backend() == "tpu"         # 'auto'
-            and _manual_or_single_device())
+    return True                                     # 'fused'
