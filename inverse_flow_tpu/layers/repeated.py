@@ -33,6 +33,12 @@ class RepeatedBlock(FlowLayer):
     # activation memory drops from O(K) to O(1) per block at the cost of
     # one extra forward — the HBM lever for deep ImageNet-scale stacks.
     remat: bool = False
+    # lax.scan unroll factor: replicate the step body N times per loop
+    # iteration. Trades HLO size (and compile time) for fewer
+    # dynamic-slice/dynamic-update-slice round-trips on the stacked
+    # params — the profile shows those DUS+conv fusions as a top cost of
+    # scan-over-depth at production scale. 1 = pure scan.
+    scan_unroll: int = 1
 
     def init(self, rng, shape):
         per_repeat = []
@@ -79,14 +85,16 @@ class RepeatedBlock(FlowLayer):
 
         if self.remat:
             body = jax.checkpoint(body)
-        (x, ldj), _ = lax.scan(body, (x, zeros_ldj(x)), params["steps"])
+        (x, ldj), _ = lax.scan(body, (x, zeros_ldj(x)), params["steps"],
+                               unroll=self.scan_unroll)
         return x, ldj
 
     def inverse(self, params, z, rng=None):
         def body(carry, step_params):
             return self._step_inverse(step_params, carry), None
 
-        z, _ = lax.scan(body, z, params["steps"], reverse=True)
+        z, _ = lax.scan(body, z, params["steps"], reverse=True,
+                        unroll=self.scan_unroll)
         return z
 
     def exact_forward(self, params, x):
@@ -95,14 +103,16 @@ class RepeatedBlock(FlowLayer):
             x, l = self._step_forward(step_params, x, exact=True)
             return (x, ldj + l), None
 
-        (x, ldj), _ = lax.scan(body, (x, zeros_ldj(x)), params["steps"])
+        (x, ldj), _ = lax.scan(body, (x, zeros_ldj(x)), params["steps"],
+                               unroll=self.scan_unroll)
         return x, ldj
 
     def exact_inverse(self, params, z):
         def body(carry, step_params):
             return self._step_inverse(step_params, carry, exact=True), None
 
-        z, _ = lax.scan(body, z, params["steps"], reverse=True)
+        z, _ = lax.scan(body, z, params["steps"], reverse=True,
+                        unroll=self.scan_unroll)
         return z
 
     # ------------------------------------------------------------------
@@ -139,7 +149,7 @@ class RepeatedBlock(FlowLayer):
 
         (_, total), _ = lax.scan(
             body, (x, jnp.zeros((x.shape[0],), jnp.float32)),
-            params["steps"])
+            params["steps"], unroll=self.scan_unroll)
         return total
 
     @property

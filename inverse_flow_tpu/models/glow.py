@@ -84,7 +84,8 @@ def build_glow(data_size=(1, 28, 28), step_kind="inv_conv_no_pad",
                num_blocks=2, block_size=16, coupling_width=512,
                actnorm=True, split_prior=True, activation="Spline",
                n_bins=5, tail_bound=20.0, if_kernel_size=3, alpha=1e-7,
-               scan_blocks=True, remat=False, coupling_dtype="float32"):
+               scan_blocks=True, remat=False, scan_unroll=1,
+               coupling_dtype="float32"):
     """Glow stack (``if_glow_mnist.py:33-132``).
 
     ``scan_blocks=True`` folds the K identical steps of each block into a
@@ -115,7 +116,8 @@ def build_glow(data_size=(1, 28, 28), step_kind="inv_conv_no_pad",
 
         if scan_blocks:
             layers.append(RepeatedBlock(tuple(make_step()), block_size,
-                                        remat=remat))
+                                        remat=remat,
+                                        scan_unroll=scan_unroll))
         else:
             for k in range(block_size):
                 layers.extend(make_step())

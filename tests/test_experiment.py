@@ -479,6 +479,31 @@ def test_remat_block_matches_plain():
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_scan_unroll_matches_plain():
+    """scan_unroll replicates the scan body N times per iteration —
+    values and grads must match the pure scan (incl. a non-divisor
+    unroll factor)."""
+    from inverse_flow_tpu.models.glow import build_glow
+
+    x = jnp.asarray(np.random.RandomState(0).randint(0, 256, (4, 1, 8, 8)),
+                    jnp.float32)
+    outs = []
+    for unroll in (1, 2, 3):
+        flow = build_glow((1, 8, 8), step_kind="inv_conv_no_pad",
+                          num_blocks=1, block_size=4, coupling_width=8,
+                          actnorm=True, split_prior=False, activation="SLR",
+                          scan_unroll=unroll)
+        params, _ = flow.init(jax.random.PRNGKey(0), (1, 8, 8))
+        g = jax.grad(lambda p: -jnp.mean(
+            flow.forward(p, x, rng=jax.random.PRNGKey(1))[1]))(params)
+        xr = flow.reconstruct(params, x, rng=jax.random.PRNGKey(1))
+        outs.append(jax.tree_util.tree_leaves(g) + [xr])
+    for other in outs[1:]:
+        for a, b in zip(outs[0], other):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)
+
+
 def test_fc_flow_plot_recon_shapes(tmp_path):
     """FC flows reconstruct to the flat vector; plot_recon must view it
     back as the input image (regression: selfnorm_fc_mnist smoke)."""
