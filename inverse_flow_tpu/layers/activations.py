@@ -132,6 +132,15 @@ class SplineActivation(FlowLayer):
     n_bins: int = 5
     tail_bound: float = 10.0
     individual_weights: bool = False
+    # Explicitly materialize knot params at the batched shape before the
+    # spline math (True), vs passing them batch-1 and letting XLA
+    # broadcast (False). Numerically identical; which is faster is a
+    # compiler question (tile: knot softmax/cumsum recomputed per batch
+    # row; broadcast: the params' VJP gains a batch reduction). A
+    # cross-session slope comparison once suggested 35% for tile, but
+    # the sessions drifted by that much on their own — adjudicate with
+    # the in-process A/B (scan_slope_bench.py --ab).
+    tile_params: bool = True
 
     def init(self, rng, shape):
         k1, k2, k3 = jax.random.split(rng, 3)
@@ -150,11 +159,18 @@ class SplineActivation(FlowLayer):
 
     def _spline_params(self, params, x):
         if self.individual_weights:
+            if not self.tile_params:
+                return (params["widths"], params["heights"],
+                        params["derivs"])
             reps = (x.shape[0],) + (1,) * (params["widths"].ndim - 1)
             return (jnp.tile(params["widths"], reps),
                     jnp.tile(params["heights"], reps),
                     jnp.tile(params["derivs"], reps))
         ones = (1,) * x.ndim
+        if not self.tile_params:
+            return (params["widths"].reshape(ones + (-1,)),
+                    params["heights"].reshape(ones + (-1,)),
+                    params["derivs"].reshape(ones + (-1,)))
         w = jnp.broadcast_to(params["widths"].reshape(ones + (-1,)),
                              x.shape + (self.n_bins,))
         h = jnp.broadcast_to(params["heights"].reshape(ones + (-1,)),

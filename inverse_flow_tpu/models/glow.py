@@ -33,6 +33,11 @@ def make_activation(name: str, n_bins=5, tail_bound=20.0):
         return lambda size: SplineActivation(tuple(size), n_bins=n_bins,
                                              tail_bound=tail_bound,
                                              individual_weights=True)
+    if name == "SplineNat":     # broadcast-knot variant for perf A/B
+        return lambda size: SplineActivation(tuple(size), n_bins=n_bins,
+                                             tail_bound=tail_bound,
+                                             individual_weights=True,
+                                             tile_params=False)
     if name == "BSpline":
         return lambda size: BSplineActivation(n_bins=8,
                                               tail_bound=tail_bound)

@@ -1,13 +1,15 @@
-"""Annotate a step profile's opaque fusion names with their HLO bodies.
+"""Annotate a step profile's opaque fusion names with source attribution.
 
 ``profile_step.py`` writes per-op device self time, but XLA names most
-ops ``fusion.4911`` / ``closed_call.164`` — useless for deciding WHAT
-to optimize. This tool recompiles the same jitted train step (the
-persistent compilation cache makes that cheap after the profiled run),
-walks the optimized HLO text, and for each of the top-N profile ops
-emits the instructions inside that fusion's computation — convolution
-shapes, dot dims, transposes — so a profile line can be traced back to
-a model component.
+ops ``fusion.5033`` — useless for deciding WHAT to optimize. This tool
+recompiles the same jitted train step (cheap: persistent compilation
+cache), and for each top profile op pulls from the optimized HLO text:
+
+- the op's own ``metadata`` (op_name path + ``source_file:line`` — the
+  model code that produced it),
+- its output shape/layout,
+- for fusions, the compute instructions inside the called computation
+  (convolutions / dots / scatters) with THEIR source attribution.
 
 Usage:
   python scripts/annotate_profile.py --config imagenet32_exact \
@@ -25,12 +27,14 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-# instruction lines worth surfacing from a fusion body, most telling
-# first: real compute, then data movement
-_INTERESTING = re.compile(
-    r"= \S+ (convolution|dot|custom-call|transpose|reduce|scatter|gather|"
-    r"dynamic-update-slice|dynamic-slice|reverse|exponential|log|divide|"
-    r"power|tanh|rsqrt|concatenate|pad|copy|bitcast)\b")
+_INSTR = re.compile(r"^\s*(?:ROOT\s+)?%([\w.\-]+)\s+=\s+(\S+?)\s+"
+                    r"([\w\-]+)\(")
+_META = re.compile(r'metadata=\{op_name="([^"]*)"'
+                   r'(?:\s+source_file="([^"]*)"\s+source_line=(\d+))?')
+_CALLS = re.compile(r"calls=%([\w.\-]+)")
+_COMPUTE_OPS = {"convolution", "dot", "scatter", "gather", "reduce",
+                "transpose", "dynamic-update-slice", "reverse", "copy",
+                "cumsum", "reduce-window", "triangular-solve"}
 
 
 def compiled_hlo_text(config: str) -> str:
@@ -65,48 +69,36 @@ def compiled_hlo_text(config: str) -> str:
     return lowered.compile().as_text()
 
 
-def index_computations(hlo: str):
-    """fusion/computation name -> list of instruction lines.
-
-    In optimized HLO text a fusion instruction references its body as
-    ``calls=%fused_computation.N`` (or ``%region_...``); map both the
-    instruction name (profile's label) and computation name to bodies.
-    """
-    comps = {}
+def parse_hlo(hlo: str):
+    """-> (instr index: name -> dict, computations: name -> [instr dict])"""
+    instrs, comps = {}, {}
     cur = None
     for line in hlo.splitlines():
-        m = re.match(r"\s*%?([\w.\-]+)\s*(?:\([^)]*\))?\s*->.*{\s*$", line)
-        if line.startswith("ENTRY") or (m and "{" in line):
-            cur = m.group(1) if m else "ENTRY"
-            comps[cur] = []
+        if line.startswith("ENTRY") or (line.rstrip().endswith("{")
+                                        and line.lstrip().startswith("%")):
+            hm = re.match(r"\s*(?:ENTRY\s+)?%?([\w.\-]+)", line)
+            cur = hm.group(1) if hm else None
+            if cur:
+                comps[cur] = []
             continue
-        if cur is not None:
-            if line.strip() == "}":
-                cur = None
-            else:
-                comps[cur].append(line.rstrip())
-    # map instruction name -> computation it calls
-    inst_to_comp = {}
-    for lines in list(comps.values()):
-        for line in lines:
-            im = re.match(r"\s*(?:ROOT )?%?([\w.\-]+) = .*?"
-                          r"(?:calls|to_apply)=%?([\w.\-]+)", line)
-            if im:
-                inst_to_comp[im.group(1)] = im.group(2)
-    return comps, inst_to_comp
-
-
-def summarize_body(lines, limit=14):
-    picked = [l.strip() for l in lines if _INTERESTING.search(l)]
-    # compress: drop SSA operand lists to keep rows readable
-    out = []
-    for l in picked[:limit]:
-        l = re.sub(r"%[\w.\-]+(, )?", "", l[l.index("= ") + 2:]) \
-            if "= " in l else l
-        out.append(l[:160])
-    if len(picked) > limit:
-        out.append(f"... (+{len(picked) - limit} more)")
-    return out
+        if line.strip() == "}":
+            cur = None
+            continue
+        im = _INSTR.match(line)
+        if not im:
+            continue
+        name, out_type, opcode = im.groups()
+        mm = _META.search(line)
+        cm = _CALLS.search(line)
+        d = {"name": name, "type": out_type, "opcode": opcode,
+             "op_name": mm.group(1) if mm else "",
+             "src": (f"{os.path.basename(mm.group(2))}:{mm.group(3)}"
+                     if mm and mm.group(2) else ""),
+             "calls": cm.group(1) if cm else None}
+        instrs[name] = d
+        if cur:
+            comps[cur].append(d)
+    return instrs, comps
 
 
 def main():
@@ -114,41 +106,58 @@ def main():
     ap.add_argument("--config", required=True)
     ap.add_argument("--ops", required=True)
     ap.add_argument("--out", required=True)
-    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--top", type=int, default=30)
     args = ap.parse_args()
 
     rows = [json.loads(l) for l in open(args.ops)]
     rows.sort(key=lambda r: -r["self_us"])
     hlo = compiled_hlo_text(args.config)
-    comps, inst_to_comp = index_computations(hlo)
+    instrs, comps = parse_hlo(hlo)
+
+    # aggregate profile time by the source line of each op (coarse map
+    # of where the step's device time lives in the MODEL code)
+    by_src = {}
+    unmatched = 0.0
+    for r in rows:
+        name = r["op"].split(" ")[0].lstrip("%")
+        d = instrs.get(name)
+        if d is None:
+            unmatched += r["ms_per_step"]
+            continue
+        src = d["src"] or d["op_name"] or "?"
+        by_src[src] = by_src.get(src, 0.0) + r["ms_per_step"]
+    total = sum(r["ms_per_step"] for r in rows)
 
     with open(args.out, "w") as f:
-        f.write(f"# Fusion bodies for `{args.config}` top profile ops\n\n"
+        f.write(f"# Source attribution for `{args.config}` profile\n\n"
                 f"Recompiled the profiled program (cache-warm) and "
-                f"matched profile op names to optimized-HLO fusion "
-                f"bodies. Caveat: names are only stable for an "
-                f"identical program + compiler version.\n\n")
+                f"matched profile op names to optimized-HLO metadata "
+                f"(`source_file:line`). Names are only stable for an "
+                f"identical program + compiler version; "
+                f"{unmatched:.2f} ms/step of ops did not match.\n\n")
+        f.write("## Device time by model source line\n\n")
+        f.write("| ms/step | share | source |\n|---|---|---|\n")
+        for src, ms in sorted(by_src.items(), key=lambda kv: -kv[1])[:30]:
+            f.write(f"| {ms:.3f} | {100 * ms / total:.1f}% | `{src}` |\n")
+        f.write("\n## Top profile ops, annotated\n\n")
         for r in rows[:args.top]:
             name = r["op"].split(" ")[0].lstrip("%")
-            body = None
-            comp = inst_to_comp.get(name)
-            if comp and comp in comps:
-                body = summarize_body(comps[comp])
-            elif name in comps:
-                body = summarize_body(comps[name])
-            f.write(f"## {r['ms_per_step']:.3f} ms/step — "
+            d = instrs.get(name)
+            f.write(f"### {r['ms_per_step']:.3f} ms/step — "
                     f"{r['pct']:.1f}% — `{name}` ({r['category']})\n\n")
-            if body:
-                for b in body:
-                    f.write(f"- `{b}`\n")
-            else:
-                f.write("- (no matching fusion body found in "
-                        "recompiled HLO)\n")
+            if d is None:
+                f.write("- (not found in recompiled HLO)\n\n")
+                continue
+            f.write(f"- out `{d['type']}` — `{d['src']}` — "
+                    f"`{d['op_name'][:120]}`\n")
+            if d["calls"] and d["calls"] in comps:
+                for b in comps[d["calls"]]:
+                    if b["opcode"] in _COMPUTE_OPS:
+                        f.write(f"  - {b['opcode']} `{b['type']}` "
+                                f"`{b['src']}`\n")
             f.write("\n")
-    print(f"wrote {args.out}")
+    print(f"wrote {args.out}; unmatched {unmatched:.2f} ms/step")
 
 
 if __name__ == "__main__":
     main()
-
-

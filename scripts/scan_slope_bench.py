@@ -216,6 +216,9 @@ CASES = {
                          kernel=(2, 2))), (1, h, 1), 128)
        for h in (128, 512, 2048)},
     # component attribution variants (flagship)
+    "glow_mnist_splinenat": _train_case(
+        lambda: _glow_mnist_flow(activation="SplineNat"), (1, 28, 28),
+        100),
     "glow_mnist_noact": _train_case(
         lambda: _glow_mnist_flow(activation="None"), (1, 28, 28), 100),
     "glow_mnist_slr": _train_case(
@@ -225,9 +228,65 @@ CASES = {
 }
 
 
+def run_ab(case_a, case_b, k1, k2, trials, out):
+    """IN-PROCESS A/B: all four programs (A/B x K1/K2) live in one
+    process and trials interleave A-pair/B-pair, so the adjudication is
+    immune to the ~35% session-to-session device-rate drift that
+    invalidates consecutive-process comparisons (the same flagship
+    program slope-measured 9.54 ms in one session and 12.92 in the
+    next). Reports per-trial slope pairs, their ratio, and a sign
+    count."""
+    make_a, meta_a = CASES[case_a]()
+    make_b, meta_b = CASES[case_b]()
+    progs = {}
+    compile_s = {}
+    for (tag, mk) in (("a", make_a), ("b", make_b)):
+        for k in (k1, k2):
+            t0 = time.time()
+            p = mk(k)
+            v = float(p(0))
+            compile_s[f"{tag}{k}"] = round(time.time() - t0, 1)
+            progs[f"{tag}{k}"] = p
+            print(f"# compiled {tag} K={k} in {compile_s[f'{tag}{k}']}s "
+                  f"(v={v:.4g})", flush=True)
+
+    rows = []
+    for t in range(trials):
+        trial = {}
+        for tag in ("a", "b"):
+            t0 = time.perf_counter()
+            float(progs[f"{tag}{k1}"](t + 1))
+            t_small = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(progs[f"{tag}{k2}"](t + 1))
+            t_big = time.perf_counter() - t0
+            trial[tag] = (t_big - t_small) / (k2 - k1) * 1e3
+        trial["ratio_a_over_b"] = round(trial["a"] / trial["b"], 4)
+        trial = {k: round(v, 4) for k, v in trial.items()}
+        rows.append(trial)
+        print(json.dumps(trial), flush=True)
+
+    med_a = float(np.median([r["a"] for r in rows]))
+    med_b = float(np.median([r["b"] for r in rows]))
+    b_wins = sum(1 for r in rows if r["b"] < r["a"])
+    row = {"ab": [case_a, case_b], "k1": k1, "k2": k2, "trials": trials,
+           "ms_per_step_a_median": round(med_a, 4),
+           "ms_per_step_b_median": round(med_b, 4),
+           "ratio_a_over_b_median": round(med_a / med_b, 4),
+           "b_wins_of": [b_wins, trials],
+           "pairs": rows, "compile_s": compile_s,
+           "batch": meta_a.get("batch")}
+    print(json.dumps(row), flush=True)
+    with open(out, "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("case", choices=sorted(CASES))
+    ap.add_argument("--ab", choices=sorted(CASES), default=None,
+                    help="second case: run an in-process interleaved A/B "
+                         "(CASE vs AB) and write one verdict row")
     ap.add_argument("--k1", type=int, default=4)
     ap.add_argument("--k2", type=int, default=36)
     ap.add_argument("--trials", type=int, default=4)
@@ -238,6 +297,11 @@ def main():
     enable_compilation_cache()
     import jax
     print(f"# device: {jax.devices()[0]}", flush=True)
+
+    if args.ab is not None:
+        run_ab(args.case, args.ab, args.k1, args.k2, args.trials,
+               args.out)
+        return
 
     make_program, meta = CASES[args.case]()
 
