@@ -202,6 +202,15 @@ class InvFlowUnit(FlowLayer):
             w_effs = tuple(apply_mask(p["w"]) for p in params["convs"])
             y = fused_chain_solve(x, w_effs, ORDERS)
             return y, zeros_ldj(y)
+        from ..ops import inv_conv as _ic
+        if _ic.UNIT_CHAIN_VJP:
+            # Exact path through the whole-unit chain VJP: identical
+            # values/gradients to the per-layer composition, but the 4
+            # weight gradients land in ONE order-batched conv
+            # (op-count-bound on TPU — see ops/inv_conv.py UNIT_CHAIN_VJP).
+            w_effs = tuple(apply_mask(p["w"]) for p in params["convs"])
+            y = _ic.inv_conv_chain_solve(x, w_effs, ORDERS)
+            return y, zeros_ldj(y)
         ldj = zeros_ldj(x)
         for conv, p in zip(self.convs, params["convs"]):
             x, l = conv.forward(p, x)

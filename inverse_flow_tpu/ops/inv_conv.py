@@ -481,8 +481,40 @@ def _inv_conv_bwd(groups, res, g):
     return dx, dw
 
 
-def _wgrad(g, x_pad, kh, kw):
-    """dK[c,c',a,b] = sum_{n,h,w} g[n,c,h,w] * x_pad[n,c',h+a,w+b]."""
+# Weight-gradient implementation switch. 'conv' (default) is the
+# batch-as-contraction convolution; 'patch' extracts the KH*KW shifted
+# views of x_pad and contracts them against g in one dot_general.
+# Slope-A/B verdict (results/true_step_time.jsonl, imagenet32_exact
+# wgpatch-vs-wgconv, in-process interleaved): conv wins 4/4 pairs,
+# patch is 4.8% SLOWER end-to-end and compiles 50x slower (419 s vs
+# 8 s) — the patch einsum's (c,d,k) output keeps the minor dim at
+# KH*KW=9 lanes and the 9-slice stack adds HBM traffic, so it never
+# recovers the conv emitter's overhead. The wgrad convs are still the
+# top profile entry (66% of the exact ImageNet32 step,
+# results/step_profile_imagenet32_exact_detail.md); the measured lever
+# is WGRAD_PRECISION below, not the contraction shape.
+WGRAD_IMPL = "conv"
+
+# MXU pass count for the weight-gradient contraction only. The SOLVE
+# stays at Precision.HIGHEST (bf16x6 f32 emulation) — invertibility
+# round-trips and exact log-dets depend on it — but dW is a *gradient*,
+# and every other gradient in the framework (coupling convs, ops/convs.py)
+# already runs at DEFAULT (one bf16 pass, f32 accumulation). Slope A/B
+# verdicts at imagenet32_exact b100 (results/true_step_time.jsonl,
+# in-process interleaved, 4/4 pairs each): highest 80.25 ms -> high
+# 73.87 ms -> default 70.26 ms per step (1.142x end-to-end for
+# default). 'default' is therefore the default; per-element bf16 input
+# rounding (~4e-3 relative) on a gradient is the normal mixed-precision
+# training regime.
+WGRAD_PRECISION = "default"
+
+_WGRAD_PREC = {"highest": lax.Precision.HIGHEST,
+               "high": lax.Precision.HIGH,
+               "default": lax.Precision.DEFAULT}
+
+
+def _wgrad_conv(g, x_pad, kh, kw):
+    """dK via conv_general_dilated (batch as contraction)."""
     out = lax.conv_general_dilated(
         jnp.transpose(x_pad, (1, 0, 2, 3)),
         jnp.transpose(g, (1, 0, 2, 3)),
@@ -490,12 +522,114 @@ def _wgrad(g, x_pad, kh, kw):
         padding=((0, 0), (0, 0)),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         preferred_element_type=jnp.float32,
-        precision=_HI,
+        precision=_WGRAD_PREC[WGRAD_PRECISION],
     )  # (Cin, Cout, KH, KW)
     return jnp.transpose(out[:, :, :kh, :kw], (1, 0, 2, 3))
 
 
+def _wgrad_patch(g, x_pad, kh, kw):
+    """dK via shifted-slice stack + one dot_general (slope-measured
+    loser vs ``_wgrad_conv`` — kept for the A/B case only)."""
+    b, c, h, w = g.shape
+    cp = x_pad.shape[1]
+    slices = [lax.slice(x_pad, (0, 0, a, s), (b, cp, a + h, s + w))
+              for a in range(kh) for s in range(kw)]
+    xp = jnp.stack(slices)                     # (KH*KW, B, C', H, W)
+    dk = jnp.einsum("nchw,kndhw->cdk", g, xp,
+                    precision=_WGRAD_PREC[WGRAD_PRECISION])
+    return dk.reshape(c, cp, kh, kw)
+
+
+def _wgrad(g, x_pad, kh, kw):
+    """dK[c,c',a,b] = sum_{n,h,w} g[n,c,h,w] * x_pad[n,c',h+a,w+b]."""
+    impl = _wgrad_patch if WGRAD_IMPL == "patch" else _wgrad_conv
+    return impl(g, x_pad, kh, kw)
+
+
 inv_conv_solve.defvjp(_inv_conv_fwd, _inv_conv_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Whole-unit chain solve: one custom_vjp across the 4 pad orders
+# ---------------------------------------------------------------------------
+
+# Same convention as layers.inv_flow._flip_axes (kept local: ops must not
+# import layers).
+_CHAIN_FLIPS = {"TL": (), "TR": (3,), "BL": (2,), "BR": (2, 3)}
+
+# Whether InvFlowUnit's exact path routes through the chain VJP (one
+# order-batched weight-gradient conv per unit instead of four per-layer
+# ones). Slope A/B verdict (results/true_step_time.jsonl,
+# nochain-vs-chain at imagenet32_exact b100, in-process interleaved):
+# the chain LOSES 1.5% (79.56 vs 80.75 ms, 0/4 pairs) — the wgrad cost
+# is NOT op-count-bound (the batched conv does the same total work at
+# the same tiny-channel lane utilization, plus stack/unstack copies).
+# Combined with the precision A/B (bf16x6 -> bf16x1 on the same convs
+# recovered only 10 of the 53 ms attributed to them), the dominant
+# residual is the transpose+DUS into the scan's stacked-gradient
+# accumulator, not the contraction. Default False; kept as measured
+# infrastructure (test: test_chain_vjp_matches_per_layer_composition).
+UNIT_CHAIN_VJP = False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def inv_conv_chain_solve(x, ws, orders):
+    """Chain of ``len(ws)`` oriented inverse-conv solves (the exact
+    InvFlowUnit composition: TL -> TR -> BL -> BR), with a custom VJP
+    that computes all weight gradients in ONE order-batched conv.
+
+    Semantically identical to composing ``flip . inv_conv_solve . flip``
+    per order (``layers/inv_flow.py: InvFlow.forward``); the value path
+    is the same blocked solve. Replaces what the reference computes as
+    four sequential CUDA ``inverse`` calls each with its own ``dw``
+    kernel launch (``inf/layers/inv_flow.py:28-53``,
+    ``inv_conv_with_bp_kernel_general.cu:496-629``).
+
+    ``ws`` are effective (masked) kernels, groups == 1, all the same
+    kernel size.
+    """
+    y = x
+    for w, o in zip(ws, orders):
+        ax = _CHAIN_FLIPS[o]
+        yf = _solve(jnp.flip(y, ax) if ax else y, w, 1)
+        y = jnp.flip(yf, ax) if ax else yf
+    return y
+
+
+def _chain_fwd(x, ws, orders):
+    ys = []                               # solve outputs, each in its
+    y = x                                 # own order frame
+    for w, o in zip(ws, orders):
+        ax = _CHAIN_FLIPS[o]
+        yf = _solve(jnp.flip(y, ax) if ax else y, w, 1)
+        ys.append(yf)
+        y = jnp.flip(yf, ax) if ax else yf
+    return y, (tuple(ys), ws)
+
+
+def _chain_bwd(orders, res, g):
+    ys, ws = res
+    kh, kw = ws[0].shape[2], ws[0].shape[3]
+    dxs, ypads = [], []                   # per order, in order frame
+    for i in reversed(range(len(ws))):
+        ax = _CHAIN_FLIPS[orders[i]]
+        g_s = jnp.flip(g, ax) if ax else g
+        w_t = _transpose_kernel(ws[i], 1)
+        dx_s = jnp.flip(_solve(jnp.flip(g_s, (2, 3)), w_t, 1), (2, 3))
+        dxs.append(dx_s)
+        ypads.append(jnp.pad(ys[i], ((0, 0), (0, 0), (kh - 1, 0),
+                                     (kw - 1, 0))))
+        g = jnp.flip(dx_s, ax) if ax else dx_s
+    # One batched wgrad over the order axis (vmap of the conv lowers to
+    # a single batch_group_count convolution) instead of len(ws) tiny
+    # per-order convs.
+    dk = jax.vmap(_wgrad, in_axes=(0, 0, None, None))(
+        jnp.stack(dxs), jnp.stack(ypads), kh, kw)
+    dws = tuple(-dk[len(ws) - 1 - i] for i in range(len(ws)))
+    return g, dws
+
+
+inv_conv_chain_solve.defvjp(_chain_fwd, _chain_bwd)
 
 
 # ---------------------------------------------------------------------------

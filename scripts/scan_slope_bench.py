@@ -136,6 +136,22 @@ def _matmul_case(dtype_name, n=4096):
     return builder
 
 
+def _with_op_flags(case_builder, **flags):
+    """Wrap a case so each make_program(K) sets module globals on
+    ops.inv_conv right before tracing — lets one in-process A/B compile
+    both implementations of an op-level switch (e.g. WGRAD_IMPL)."""
+    def builder():
+        make, meta = case_builder()
+
+        def make2(K):
+            import inverse_flow_tpu.ops.inv_conv as ic
+            for k, v in flags.items():
+                setattr(ic, k, v)
+            return make(K)
+        return make2, meta
+    return builder
+
+
 CASES = {
     # validation: known FLOPs, fast compile
     "matmul_bf16": _matmul_case("bfloat16"),
@@ -182,6 +198,91 @@ CASES = {
         lambda: _imagenet32_flow(step_kind="inv_flow_unit_exact",
                                  remat=True, coupling_dtype="bfloat16"),
         (3, 32, 32), 1024),
+    # weight-gradient implementation A/B (ops/inv_conv.py WGRAD_IMPL):
+    # 'patch' = shifted-slice stack + one dot_general (default);
+    # 'conv' = batch-as-contraction convolution (the round-2 path that
+    # profiled at 66% of the exact ImageNet32 step)
+    "imagenet32_exact_wgpatch": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        WGRAD_IMPL="patch"),
+    "imagenet32_exact_wgconv": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        WGRAD_IMPL="conv"),
+    "glow_mnist_wgpatch": _with_op_flags(
+        _train_case(_glow_mnist_flow, (1, 28, 28), 100),
+        WGRAD_IMPL="patch"),
+    "glow_mnist_wgconv": _with_op_flags(
+        _train_case(_glow_mnist_flow, (1, 28, 28), 100),
+        WGRAD_IMPL="conv"),
+    "imagenet32_b1024_remat_exact_wgpatch": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact", remat=True),
+            (3, 32, 32), 1024),
+        WGRAD_IMPL="patch"),
+    "imagenet32_b1024_remat_exact_wgconv": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact", remat=True),
+            (3, 32, 32), 1024),
+        WGRAD_IMPL="conv"),
+    # weight-gradient PRECISION A/B (ops/inv_conv.py WGRAD_PRECISION):
+    # the solve stays bf16x6, only the dW contraction's MXU pass count
+    # changes. 'highest'=bf16x6, 'high'=bf16x3, 'default'=1 bf16 pass.
+    "imagenet32_exact_wghi": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        WGRAD_IMPL="conv", WGRAD_PRECISION="highest"),
+    "imagenet32_exact_wghigh": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        WGRAD_IMPL="conv", WGRAD_PRECISION="high"),
+    "imagenet32_exact_wgdef": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        WGRAD_IMPL="conv", WGRAD_PRECISION="default"),
+    "imagenet32_b1024_remat_exact_wghi": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact", remat=True),
+            (3, 32, 32), 1024),
+        WGRAD_IMPL="conv", WGRAD_PRECISION="highest"),
+    "imagenet32_b1024_remat_exact_wgdef": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact", remat=True),
+            (3, 32, 32), 1024),
+        WGRAD_IMPL="conv", WGRAD_PRECISION="default"),
+    "glow_mnist_wghi": _with_op_flags(
+        _train_case(_glow_mnist_flow, (1, 28, 28), 100),
+        WGRAD_IMPL="conv", WGRAD_PRECISION="highest"),
+    "glow_mnist_wgdef": _with_op_flags(
+        _train_case(_glow_mnist_flow, (1, 28, 28), 100),
+        WGRAD_IMPL="conv", WGRAD_PRECISION="default"),
+    # whole-unit chain VJP A/B (ops/inv_conv.py UNIT_CHAIN_VJP): 'chain'
+    # = one order-batched wgrad conv per unit; 'nochain' = per-layer
+    # composition (4 separate wgrad convs per unit). Wgrad knobs pinned
+    # so the A/B isolates the chain restructure.
+    "imagenet32_exact_chain": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        UNIT_CHAIN_VJP=True, WGRAD_IMPL="conv", WGRAD_PRECISION="highest"),
+    "imagenet32_exact_nochain": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        UNIT_CHAIN_VJP=False, WGRAD_IMPL="conv", WGRAD_PRECISION="highest"),
+    "imagenet32_exact_chain_wgdef": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        UNIT_CHAIN_VJP=True, WGRAD_IMPL="conv", WGRAD_PRECISION="default"),
+    "imagenet32_b1024_remat_exact_chain_wgdef": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact", remat=True),
+            (3, 32, 32), 1024),
+        UNIT_CHAIN_VJP=True, WGRAD_IMPL="conv", WGRAD_PRECISION="default"),
+    "imagenet32_b1024_remat_exact_nochain": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact", remat=True),
+            (3, 32, 32), 1024),
+        UNIT_CHAIN_VJP=False, WGRAD_IMPL="conv", WGRAD_PRECISION="highest"),
     # scan-over-depth DUS overhead: unroll factor A/B (same stacked
     # params, body replicated N times per loop iteration)
     "imagenet32_exact_unroll8": _train_case(

@@ -264,3 +264,42 @@ def test_jacobi_tol_early_exit_matches_exact():
                     jacobi_tol=1e-6)
     y_layer, _ = layer.forward({"w": jnp.zeros((c, c, 3, 3)) + 0.0}, x)
     assert np.all(np.isfinite(np.asarray(y_layer)))
+
+
+def test_chain_vjp_matches_per_layer_composition():
+    """The whole-unit chain solve (one order-batched wgrad conv,
+    ``inv_conv_chain_solve``) must be value- AND gradient-identical to
+    the per-layer flip/solve/flip composition it replaces."""
+    import inverse_flow_tpu.ops.inv_conv as ic
+    from inverse_flow_tpu.layers.inv_flow import InvFlowUnit
+
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 6)
+    b, c, h, w = 3, 4, 8, 6
+    x = jax.random.normal(ks[0], (b, c, h, w), jnp.float32)
+    unit = InvFlowUnit(c)
+    params = {"convs": [
+        {"w": 0.2 * jax.random.normal(k, (c, c, 3, 3), jnp.float32)}
+        for k in ks[1:5]]}
+
+    def loss(p, chain):
+        old = ic.UNIT_CHAIN_VJP
+        ic.UNIT_CHAIN_VJP = chain
+        try:
+            y, _ = unit.forward(p, x)
+        finally:
+            ic.UNIT_CHAIN_VJP = old
+        return jnp.sum(jnp.sin(y)), y
+
+    (v1, y1), g1 = jax.value_and_grad(loss, has_aux=True)(params, True)
+    (v2, y2), g2 = jax.value_and_grad(loss, has_aux=True)(params, False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               atol=1e-5, rtol=1e-5)
+    for a, b_ in zip(g1["convs"], g2["convs"]):
+        np.testing.assert_allclose(np.asarray(a["w"]), np.asarray(b_["w"]),
+                                   atol=1e-4, rtol=1e-4)
+    # and against the dense oracle for one order-chain value
+    w_effs = tuple(apply_mask(p["w"]) for p in params["convs"])
+    y3 = ic.inv_conv_chain_solve(x, w_effs, ("TL", "TR", "BL", "BR"))
+    np.testing.assert_allclose(np.asarray(y3), np.asarray(y1),
+                               atol=1e-5, rtol=1e-5)
