@@ -88,6 +88,27 @@ class FlowLayer:
         return self.inverse(params, z)
 
     # --- optional hooks -------------------------------------------------
+    def prepare(self, params, shape):
+        """Optional params-only per-step precomputation (e.g. the
+        inverse-conv solve operator). Returns an aux pytree consumed by
+        :meth:`forward_prepared`, or None when nothing applies.
+        ``shape`` is the layer's input shape without the batch dim.
+        ``RepeatedBlock`` vmaps this over its K stacked steps OUTSIDE
+        the depth scan, so the work batches over K and leaves the
+        sequential loop body."""
+        del params, shape
+        return None
+
+    def forward_prepared(self, params, aux, x, rng=None):
+        """``forward`` with a precomputed :meth:`prepare` aux. Default
+        ignores the aux."""
+        del aux
+        return self.forward(params, x, rng=rng)
+
+    @property
+    def has_prepare(self):
+        return type(self).prepare is not FlowLayer.prepare
+
     def data_init(self, params, x):
         """Data-dependent init; default is a no-op."""
         del x

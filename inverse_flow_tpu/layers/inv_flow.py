@@ -111,6 +111,40 @@ class InvFlow(FlowLayer):
         return select_fused(self.solver, x_shape, self.kernel_size,
                             (self.order,), groups=self.groups)
 
+    def prepare(self, params, shape):
+        # Prepared-operator path (ops/inv_conv.py module note): exact
+        # solver, ungrouped, kh >= 2. The operator is built from the
+        # CANONICAL kernel — order flips act on the data, so one aux
+        # serves any order at the same activation shape.
+        from ..ops.inv_conv import PREPARED_SOLVE, solve_prepare
+        if (not PREPARED_SOLVE or self.solver not in ("auto", "exact")
+                or self.groups != 1):
+            return None
+        if self._use_fused((1,) + tuple(shape)):
+            return None
+        _, h, w = shape
+        # stop_gradient is REQUIRED, not cosmetic: the custom VJP of
+        # inv_conv_solve_prepared carries the total weight gradient in
+        # dw and declares the t_inv/g cotangents zero — but without
+        # stopping, autodiff still (a) accumulates those explicit zeros
+        # into stacked scan-input gradients and (b) runs the full
+        # transpose of the vmapped Newton-Schulz build on them. Slope-
+        # measured: that machinery cost +43% end-to-end (first
+        # noprep-vs-prep A/B row in results/true_step_time.jsonl).
+        return jax.lax.stop_gradient(solve_prepare(self._w_eff(params),
+                                                   h, w))
+
+    def forward_prepared(self, params, aux, x, rng=None):
+        if aux is None:
+            return self.forward(params, x, rng=rng)
+        from ..ops.inv_conv import inv_conv_solve_prepared
+        ax = _flip_axes(self.order)
+        xf = jnp.flip(x, ax) if ax else x
+        y = inv_conv_solve_prepared(xf, self._w_eff(params),
+                                    aux["t_inv"], aux["g"])
+        y = jnp.flip(y, ax) if ax else y
+        return y, zeros_ldj(y)
+
     def forward(self, params, x, rng=None):
         if self._use_fused(x.shape):
             # single-order fused kernel: the orientation flip is absorbed
@@ -121,6 +155,13 @@ class InvFlow(FlowLayer):
             w = expand_grouped_kernel(self._w_eff(params), self.groups)
             y = fused_chain_solve(x, (w,), (self.order,))
             return y, zeros_ldj(y)
+        from ..ops import inv_conv as _ic
+        if _ic.PREPARED_SOLVE:
+            aux = self.prepare(params, x.shape[1:])
+            if aux is not None:
+                # self-prepared: even un-hoisted this halves the operator
+                # builds (the VJP reuses t_inv for the transposed solve)
+                return self.forward_prepared(params, aux, x, rng=rng)
         ax = _flip_axes(self.order)
         x = jnp.flip(x, ax) if ax else x
         if self.solver == "jacobi":
@@ -195,6 +236,22 @@ class InvFlowUnit(FlowLayer):
     def _use_fused(self, x_shape):
         from ..ops.fused_chain import select_fused
         return select_fused(self.solver, x_shape, self.kernel_size, ORDERS)
+
+    def prepare(self, params, shape):
+        if self.solver == "fused" or self._use_fused((1,) + tuple(shape)):
+            return None
+        auxes = [conv.prepare(p, shape)
+                 for conv, p in zip(self.convs, params["convs"])]
+        return auxes if any(a is not None for a in auxes) else None
+
+    def forward_prepared(self, params, aux, x, rng=None):
+        if aux is None or self._use_fused(x.shape):
+            return self.forward(params, x, rng=rng)
+        ldj = zeros_ldj(x)
+        for conv, p, a in zip(self.convs, params["convs"], aux):
+            x, l = conv.forward_prepared(p, a, x)
+            ldj = ldj + l
+        return x, ldj
 
     def forward(self, params, x, rng=None):
         if self._use_fused(x.shape):

@@ -58,15 +58,33 @@ class RepeatedBlock(FlowLayer):
         return {"steps": stacked}, shape
 
     # ------------------------------------------------------------------
-    def _step_forward(self, step_params, x, exact=False):
+    def _step_forward(self, step_params, x, exact=False, aux=None):
         ldj = zeros_ldj(x)
-        for layer, p in zip(self.step_layers, step_params):
+        auxes = aux if aux is not None else [None] * len(self.step_layers)
+        for layer, p, a in zip(self.step_layers, step_params, auxes):
             if exact and layer.has_modified_grad:
                 x, l = layer.exact_forward(p, x)
+            elif a is not None:
+                x, l = layer.forward_prepared(p, a, x)
             else:
                 x, l = layer.forward(p, x)
             ldj = ldj + l
         return x, ldj
+
+    def _make_aux(self, params, shape):
+        """Per-layer :meth:`FlowLayer.prepare` hoisted out of the depth
+        scan: vmapped over the K stacked steps, so K operator builds run
+        as a few batched matmuls instead of K sequential in-scan ones
+        (and the scan body receives them as plain scanned inputs)."""
+        auxes = []
+        for j, layer in enumerate(self.step_layers):
+            if layer.has_prepare:
+                sp = params["steps"][j]
+                auxes.append(jax.vmap(
+                    lambda p, lyr=layer: lyr.prepare(p, shape))(sp))
+            else:
+                auxes.append(None)
+        return auxes if any(a is not None for a in auxes) else None
 
     def _step_inverse(self, step_params, z, exact=False):
         for layer, p in zip(reversed(self.step_layers),
@@ -78,14 +96,18 @@ class RepeatedBlock(FlowLayer):
         return z
 
     def forward(self, params, x, rng=None):
-        def body(carry, step_params):
+        aux = self._make_aux(params, x.shape[1:])
+
+        def body(carry, xs):
+            step_params, aux_k = xs
             x, ldj = carry
-            x, l = self._step_forward(step_params, x)
+            x, l = self._step_forward(step_params, x, aux=aux_k)
             return (x, ldj + l), None
 
         if self.remat:
             body = jax.checkpoint(body)
-        (x, ldj), _ = lax.scan(body, (x, zeros_ldj(x)), params["steps"],
+        (x, ldj), _ = lax.scan(body, (x, zeros_ldj(x)),
+                               (params["steps"], aux),
                                unroll=self.scan_unroll)
         return x, ldj
 
@@ -98,12 +120,17 @@ class RepeatedBlock(FlowLayer):
         return z
 
     def exact_forward(self, params, x):
-        def body(carry, step_params):
+        aux = self._make_aux(params, x.shape[1:])
+
+        def body(carry, xs):
+            step_params, aux_k = xs
             x, ldj = carry
-            x, l = self._step_forward(step_params, x, exact=True)
+            x, l = self._step_forward(step_params, x, exact=True,
+                                      aux=aux_k)
             return (x, ldj + l), None
 
-        (x, ldj), _ = lax.scan(body, (x, zeros_ldj(x)), params["steps"],
+        (x, ldj), _ = lax.scan(body, (x, zeros_ldj(x)),
+                               (params["steps"], aux),
                                unroll=self.scan_unroll)
         return x, ldj
 

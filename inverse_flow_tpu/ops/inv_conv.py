@@ -65,6 +65,27 @@ from jax import lax
 
 _HI = lax.Precision.HIGHEST
 
+# MXU pass count for the SOLVE path (operator construction + block
+# solves): 'highest' = bf16x6 f32 emulation, 'high' = bf16x3 (~f32
+# accuracy: max elementwise product error ~2^-24, indistinguishable
+# from native f32 FMA at these operator sizes), 'default' = one bf16
+# pass (NOT safe for invertibility round-trips). The fresh
+# imagenet32_exact profile (results/step_profile_imagenet32_exact_
+# detail.md, post-wgrad-fix) shows 65% of the step inside the solve's
+# einsums and Newton-Schulz operator builds, all previously pinned at
+# HIGHEST; the c_all block einsum alone measures ~94% of the bf16x6
+# ceiling, so pass count is the binding constraint. Slope A/B verdict
+# (results/true_step_time.jsonl, imagenet32_exact b100, in-process
+# interleaved): highest 70.11 -> high 56.58 ms/step (1.239x, 4/4
+# pairs), so 'high' is the default; 'highest' remains for oracle runs.
+SOLVE_PRECISION = "high"
+
+
+def _sp():
+    return {"highest": lax.Precision.HIGHEST,
+            "high": lax.Precision.HIGH,
+            "default": lax.Precision.DEFAULT}[SOLVE_PRECISION]
+
 # Implementation note (round-1 -> round-2 history): a per-layer Pallas
 # kernel for the block scan alone was measured LOSING to the XLA scan at
 # every shape (full Glow-MNIST train step 184 ms vs 0.73 ms; 3.34 vs
@@ -202,8 +223,8 @@ def _tri_inverse(m0):
     x = eye2 - m_unit                            # captures order-1 terms
     steps = max(1, (n - 1).bit_length() - 1)     # 2^(steps+1) >= n
     for _ in range(steps):
-        x = jnp.matmul(x, eye2 - jnp.matmul(m_unit, x, precision=_HI),
-                       precision=_HI)
+        x = jnp.matmul(x, eye2 - jnp.matmul(m_unit, x, precision=_sp()),
+                       precision=_sp())
     return x / d[None, :]                        # (I+L')^{-1} D^{-1}
 
 
@@ -223,10 +244,10 @@ def _block_toeplitz_inverse(mats, r_rows: int):
     for d in range(1, r_rows):
         acc = None
         for r in range(1, min(kh - 1, d) + 1):
-            term = jnp.matmul(mats[r], d_blocks[d - r], precision=_HI)
+            term = jnp.matmul(mats[r], d_blocks[d - r], precision=_sp())
             acc = term if acc is None else acc + term
         d_blocks.append(
-            -jnp.matmul(m0_inv, acc, precision=_HI) if acc is not None
+            -jnp.matmul(m0_inv, acc, precision=_sp()) if acc is not None
             else jnp.zeros_like(m0_inv))
     stack = jnp.stack(d_blocks)                               # (R, CW, CW)
 
@@ -286,7 +307,7 @@ def _solve_ungrouped(x, w_eff, r_rows=None):
     if kh == 1:
         # no inter-row dependence: one inverse applied to all rows at once.
         m0_inv = _tri_inverse(mats[0])
-        y_rows = jnp.einsum("bhi,ji->bhj", x_rows, m0_inv, precision=_HI)
+        y_rows = jnp.einsum("bhi,ji->bhj", x_rows, m0_inv, precision=_sp())
     else:
         r = int(r_rows) if r_rows else _choose_block_rows(h, cw, kh)
         nb = -(-h // r)
@@ -297,7 +318,7 @@ def _solve_ungrouped(x, w_eff, r_rows=None):
 
         xp = jnp.pad(x_rows, ((0, 0), (0, nb * r - h), (0, 0)))
         xb = xp.reshape(b, nb, rcw)
-        c_all = jnp.einsum("bni,ji->bnj", xb, t_inv, precision=_HI)
+        c_all = jnp.einsum("bni,ji->bnj", xb, t_inv, precision=_sp())
 
         if nb == 1:
             y_blocks = c_all
@@ -318,7 +339,7 @@ def _scan_blocks_xla(c_all, g, kcw: int):
     b, nb, rcw = c_all.shape
 
     def step(tail, c_n):
-        y_n = c_n - jnp.einsum("bk,jk->bj", tail, g, precision=_HI)
+        y_n = c_n - jnp.einsum("bk,jk->bj", tail, g, precision=_sp())
         return y_n[:, rcw - kcw:], y_n
 
     tail0 = jnp.zeros((b, kcw), c_all.dtype)
@@ -341,6 +362,151 @@ def _solve(x, w_eff, groups: int = 1):
     wg = w_eff.reshape(groups, cg, cg, *w_eff.shape[2:])
     yg = jax.vmap(_solve_ungrouped, in_axes=(1, 0), out_axes=1)(xg, wg)
     return yg.reshape(b, c, h, width)
+
+
+# ---------------------------------------------------------------------------
+# Prepared-operator solve: build the operator once, apply it many times
+# ---------------------------------------------------------------------------
+#
+# The blocked solve above rebuilds its operator pieces (Newton-Schulz
+# M0^{-1}, block-Toeplitz t_inv, coupling G) from the kernel on EVERY
+# call — ~1.9 GFLOP of (CW)^3 matmuls per call vs ~0.24 GFLOP for the
+# solve itself at production shapes. Under scan-over-depth that build
+# runs per scan iteration, per order, in forward AND backward: the
+# post-wgrad-fix profile attributes 65% of the exact ImageNet32 step to
+# this line of work (results/step_profile_imagenet32_exact_detail.md).
+# The prepared path splits the op:
+#
+#   solve_prepare(w_eff, h, w) -> {t_inv, g}   (hoistable: RepeatedBlock
+#       vmaps it over the K stacked steps OUTSIDE the scan)
+#   inv_conv_solve_prepared(x, w_eff, t_inv, g)  (custom_vjp)
+#
+# and its VJP REUSES t_inv for dx by solving the transposed system with
+# a reverse block scan — no second operator build, and no spatial flips:
+#
+#   T^T z = g_ct :  z_n = (g_n - pad_last(z_{n+1} @ P)) @ t_inv
+#
+# (row-vector forms; forward applies t_inv^T, transpose applies t_inv —
+# same array, opposite contraction side. P is the matmul-free gather
+# ``_prev_block``.) dW = -wgrad(y, dx) is the total analytic weight
+# gradient of y = T(w)^{-1}x (implicit-function result), so the
+# cotangents for t_inv/g are declared zero — they are exact functions
+# of w and their contribution is already inside dW. Do NOT differentiate
+# w.r.t. t_inv/g directly.
+
+# Gate for the prepared-operator path in InvFlow/InvFlowUnit (slope
+# A/B: scan_slope_bench.py imagenet32_exact_prep vs _noprep). Verdict
+# (results/true_step_time.jsonl, two noprep-vs-prep rows): the prepared
+# path LOSES 16% at imagenet32_exact b100 (65.4 vs 56.1 ms, 0/4) even
+# after stop_gradient on the aux (without it, autodiff's transpose of
+# the hoisted build cost +43%). Streaming ~3.4 MB of t_inv/G per conv
+# per scan iteration from HBM (forward xs read + backward xs re-read)
+# costs more than rebuilding the operator on the MXU in-scan at
+# SOLVE_PRECISION='high' — recompute beats memory on this hardware.
+# Default OFF; kept as measured infrastructure with parity tests
+# (test_prepared_solve_matches_unprepared, test_prepared_block_parity*).
+PREPARED_SOLVE = False
+
+
+def solve_prepare(w_eff, h: int, width: int):
+    """Precompute {t_inv, g} for :func:`inv_conv_solve_prepared`.
+
+    Returns None when the prepared path does not apply (kh < 2 — the
+    1x1-row case has no inter-row scan and a single cheap build).
+    Shapes: t_inv (R*CW, R*CW), g (R*CW, (KH-1)*CW) with R chosen by
+    :func:`_choose_block_rows` (deterministic in the static shape).
+    """
+    c = w_eff.shape[0]
+    kh = w_eff.shape[2]
+    if kh < 2:
+        return None
+    cw = c * width
+    r = _choose_block_rows(h, cw, kh)
+    mats = _row_matrices(w_eff, width)
+    t_inv = _block_toeplitz_inverse(mats, r)
+    g = jnp.matmul(t_inv, _prev_block(mats, r), precision=_sp())
+    return {"t_inv": t_inv, "g": g}
+
+
+def _apply_prepared(x, t_inv, g):
+    b, c, h, width = x.shape
+    cw = c * width
+    rcw = t_inv.shape[0]
+    r = rcw // cw
+    nb = -(-h // r)
+    kcw = g.shape[1]
+
+    x_rows = jnp.transpose(x, (0, 2, 3, 1)).reshape(b, h, cw)
+    xp = jnp.pad(x_rows, ((0, 0), (0, nb * r - h), (0, 0)))
+    xb = xp.reshape(b, nb, rcw)
+    c_all = jnp.einsum("bni,ji->bnj", xb, t_inv, precision=_sp())
+    y_blocks = c_all if nb == 1 else _scan_blocks_xla(c_all, g, kcw)
+    y_rows = y_blocks.reshape(b, nb * r, cw)[:, :h]
+    y = y_rows.reshape(b, h, width, c)
+    return jnp.transpose(y, (0, 3, 1, 2))
+
+
+def _apply_prepared_t(g_ct, w_eff, t_inv):
+    """``z = T^{-T} g_ct`` by a reverse block scan reusing the forward's
+    ``t_inv`` (operator transposition = contracting t_inv on the other
+    side; the padded system's transpose truncates exactly because
+    Pad^T = Trunc)."""
+    b, c, h, width = g_ct.shape
+    cw = c * width
+    rcw = t_inv.shape[0]
+    r = rcw // cw
+    nb = -(-h // r)
+    kh = w_eff.shape[2]
+    kcw = (kh - 1) * cw
+    p = _prev_block(_row_matrices(w_eff, width), r)    # gather only
+
+    g_rows = jnp.transpose(g_ct, (0, 2, 3, 1)).reshape(b, h, cw)
+    gp = jnp.pad(g_rows, ((0, 0), (0, nb * r - h), (0, 0)))
+    gb = gp.reshape(b, nb, rcw)
+
+    def step(v, g_n):
+        m = g_n.at[:, rcw - kcw:].add(-v)
+        z_n = jnp.einsum("bi,ij->bj", m, t_inv, precision=_sp())
+        return jnp.einsum("bj,jk->bk", z_n, p, precision=_sp()), z_n
+
+    v0 = jnp.zeros((b, kcw), gb.dtype)
+    if nb <= 4:
+        zs, v = [None] * nb, v0
+        for n in range(nb - 1, -1, -1):
+            v, z_n = step(v, gb[:, n])
+            zs[n] = z_n
+        z = jnp.stack(zs, axis=1)
+    else:
+        _, z = lax.scan(step, v0, jnp.transpose(gb, (1, 0, 2)),
+                        reverse=True)
+        z = jnp.transpose(z, (1, 0, 2))
+    z_rows = z.reshape(b, nb * r, cw)[:, :h]
+    return jnp.transpose(z_rows.reshape(b, h, width, c), (0, 3, 1, 2))
+
+
+@jax.custom_vjp
+def inv_conv_solve_prepared(x, w_eff, t_inv, g):
+    """Solve ``T(w_eff) y = x`` with a precomputed operator (see module
+    note above). Value-identical to :func:`inv_conv_solve`; the VJP
+    reuses ``t_inv`` for the transposed solve instead of rebuilding."""
+    return _apply_prepared(x, t_inv, g)
+
+
+def _prep_fwd(x, w_eff, t_inv, g):
+    y = _apply_prepared(x, t_inv, g)
+    return y, (y, w_eff, t_inv, g)
+
+
+def _prep_bwd(res, g_ct):
+    y, w_eff, t_inv, g = res
+    kh, kw = w_eff.shape[2], w_eff.shape[3]
+    dx = _apply_prepared_t(g_ct, w_eff, t_inv)
+    y_pad = jnp.pad(y, ((0, 0), (0, 0), (kh - 1, 0), (kw - 1, 0)))
+    dw = -_wgrad(dx, y_pad, kh, kw)
+    return dx, dw, jnp.zeros_like(t_inv), jnp.zeros_like(g)
+
+
+inv_conv_solve_prepared.defvjp(_prep_fwd, _prep_bwd)
 
 
 # ---------------------------------------------------------------------------

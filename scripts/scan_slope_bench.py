@@ -257,6 +257,61 @@ CASES = {
     "glow_mnist_wgdef": _with_op_flags(
         _train_case(_glow_mnist_flow, (1, 28, 28), 100),
         WGRAD_IMPL="conv", WGRAD_PRECISION="default"),
+    # SOLVE precision A/B (ops/inv_conv.py SOLVE_PRECISION): pass count
+    # of the Newton-Schulz operator builds + block-solve einsums (the
+    # 65%-of-step entry in the post-wgrad-fix profile). 'high' (bf16x3)
+    # is ~f32-accurate; 'default' is a ceiling probe only (1 bf16 pass
+    # is not invertibility-safe).
+    "imagenet32_exact_sphi": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        SOLVE_PRECISION="highest", WGRAD_IMPL="conv",
+        WGRAD_PRECISION="default", UNIT_CHAIN_VJP=False),
+    "imagenet32_exact_sphigh": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        SOLVE_PRECISION="high", WGRAD_IMPL="conv",
+        WGRAD_PRECISION="default", UNIT_CHAIN_VJP=False),
+    "imagenet32_exact_spdef": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        SOLVE_PRECISION="default", WGRAD_IMPL="conv",
+        WGRAD_PRECISION="default", UNIT_CHAIN_VJP=False),
+    # PREPARED-operator A/B (ops/inv_conv.py PREPARED_SOLVE): operator
+    # build hoisted out of the depth scan (vmapped over K) + backward
+    # t_inv reuse via the transposed block scan, vs the per-call
+    # build-in-scan path. Solve/wgrad knobs pinned to the adopted
+    # defaults so the A/B isolates the restructure.
+    "imagenet32_exact_prep": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        PREPARED_SOLVE=True, SOLVE_PRECISION="high", WGRAD_IMPL="conv",
+        WGRAD_PRECISION="default", UNIT_CHAIN_VJP=False),
+    "imagenet32_exact_noprep": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        PREPARED_SOLVE=False, SOLVE_PRECISION="high", WGRAD_IMPL="conv",
+        WGRAD_PRECISION="default", UNIT_CHAIN_VJP=False),
+    "imagenet32_b1024_remat_exact_prep": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact", remat=True),
+            (3, 32, 32), 1024),
+        PREPARED_SOLVE=True, SOLVE_PRECISION="high", WGRAD_IMPL="conv",
+        WGRAD_PRECISION="default", UNIT_CHAIN_VJP=False),
+    "imagenet32_b1024_remat_exact_noprep": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact", remat=True),
+            (3, 32, 32), 1024),
+        PREPARED_SOLVE=False, SOLVE_PRECISION="high", WGRAD_IMPL="conv",
+        WGRAD_PRECISION="default", UNIT_CHAIN_VJP=False),
+    "glow_mnist_prep": _with_op_flags(
+        _train_case(_glow_mnist_flow, (1, 28, 28), 100),
+        PREPARED_SOLVE=True, SOLVE_PRECISION="high", WGRAD_IMPL="conv",
+        WGRAD_PRECISION="default", UNIT_CHAIN_VJP=False),
+    "glow_mnist_noprep": _with_op_flags(
+        _train_case(_glow_mnist_flow, (1, 28, 28), 100),
+        PREPARED_SOLVE=False, SOLVE_PRECISION="high", WGRAD_IMPL="conv",
+        WGRAD_PRECISION="default", UNIT_CHAIN_VJP=False),
     # whole-unit chain VJP A/B (ops/inv_conv.py UNIT_CHAIN_VJP): 'chain'
     # = one order-batched wgrad conv per unit; 'nochain' = per-layer
     # composition (4 separate wgrad convs per unit). Wgrad knobs pinned

@@ -303,3 +303,80 @@ def test_chain_vjp_matches_per_layer_composition():
     y3 = ic.inv_conv_chain_solve(x, w_effs, ("TL", "TR", "BL", "BR"))
     np.testing.assert_allclose(np.asarray(y3), np.asarray(y1),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_prepared_solve_matches_unprepared():
+    """Prepared-operator path (build-once t_inv/G + transposed-scan VJP,
+    ``inv_conv_solve_prepared``): values must be bit-identical to
+    ``inv_conv_solve`` and gradients equal to accumulation-order noise,
+    at divisor and non-divisor heights and 2x2/3x3/3x2 kernels."""
+    import inverse_flow_tpu.ops.inv_conv as ic
+
+    for (c, h, w, kh, kw) in [(4, 8, 8, 3, 3), (3, 7, 5, 3, 2),
+                              (2, 9, 6, 2, 2), (4, 3, 8, 3, 3)]:
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(c * h + kw), 3)
+        w_eff = apply_mask(
+            0.3 * jax.random.normal(k1, (c, c, kh, kw), jnp.float32))
+        x = jax.random.normal(k2, (2, c, h, w), jnp.float32)
+        g_ct = jax.random.normal(k3, (2, c, h, w), jnp.float32)
+        aux = ic.solve_prepare(w_eff, h, w)
+        y1 = ic.inv_conv_solve(x, w_eff)
+        y2 = ic.inv_conv_solve_prepared(x, w_eff, aux["t_inv"], aux["g"])
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+        def f1(x_, w_):
+            return jnp.vdot(g_ct, ic.inv_conv_solve(x_, w_))
+
+        def f2(x_, w_):
+            a = ic.solve_prepare(w_, h, w)
+            return jnp.vdot(g_ct, ic.inv_conv_solve_prepared(
+                x_, w_, a["t_inv"], a["g"]))
+
+        g1 = jax.grad(f1, (0, 1))(x, w_eff)
+        g2 = jax.grad(f2, (0, 1))(x, w_eff)
+        np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                                   atol=2e-3, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                                   atol=2e-3, rtol=2e-4)
+
+
+def test_prepared_block_parity_and_gate():
+    """RepeatedBlock hoists prepare() over K (vmapped, outside the scan);
+    with PREPARED_SOLVE toggled the block's forward value and gradients
+    must agree, and the flag must actually switch the path (gate
+    regression: _make_aux must respect PREPARED_SOLVE)."""
+    import inverse_flow_tpu.ops.inv_conv as ic
+    from inverse_flow_tpu.layers.inv_flow import InvFlowUnit
+    from inverse_flow_tpu.layers.repeated import RepeatedBlock
+
+    unit = InvFlowUnit(4)
+    blk = RepeatedBlock((unit,), n_repeats=5, remat=True)
+    params, _ = blk.init(jax.random.PRNGKey(3), (4, 8, 8))
+    x = jax.random.normal(jax.random.PRNGKey(4), (3, 4, 8, 8), jnp.float32)
+
+    old = ic.PREPARED_SOLVE
+    try:
+        def loss(p, prep):
+            ic.PREPARED_SOLVE = prep
+            y, ldj = blk.forward(p, x)
+            return jnp.sum(jnp.sin(y)) + jnp.sum(ldj)
+
+        v1, g1 = jax.value_and_grad(loss)(params, True)
+        v2, g2 = jax.value_and_grad(loss)(params, False)
+        assert abs(float(v1 - v2)) < 1e-5
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-4),
+            g1, g2)
+        # the gate must flip the aux: with the flag off, prepare -> None
+        ic.PREPARED_SOLVE = False
+        assert blk._make_aux(params, (4, 8, 8)) is None
+        ic.PREPARED_SOLVE = True
+        assert blk._make_aux(params, (4, 8, 8)) is not None
+        # roundtrip through the prepared forward
+        y, _ = blk.forward(params, x)
+        xr = blk.inverse(params, y)
+        np.testing.assert_allclose(np.asarray(xr), np.asarray(x),
+                                   atol=1e-5)
+    finally:
+        ic.PREPARED_SOLVE = old
