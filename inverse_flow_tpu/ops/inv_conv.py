@@ -142,7 +142,11 @@ def masked_conv_apply(y, w_eff, groups: int = 1):
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=groups,
         preferred_element_type=jnp.float32,
-        precision=_HI,
+        # same pass-count policy as the solve: the conv is the solve's
+        # inverse direction, so round-trip error is bounded by the
+        # looser of the two (scripts/check_solve_precision.py validates
+        # the pair on-chip against a float64 oracle)
+        precision=_sp(),
     )
 
 
