@@ -209,18 +209,59 @@ def _tri_block(mats, r_rows: int):
     return t.reshape(r_rows * cw, r_rows * cw)
 
 
-def _tri_inverse(m0):
+# Use the pixel-block factorization in _tri_inverse when the row width
+# is known: M0 = (I_W (x) A0)(I + N) with A0 the (C,C) diagonal pixel
+# block and N strictly pixel-block-triangular, so N's nilpotency index
+# is W (pixels), not C*W (elements) — Newton-Schulz needs
+# ceil(log2(W)) iterations instead of ceil(log2(C*W)): 17 -> 11 big
+# matmuls at W=32 and 17 -> 7 at W=8, a pure-FLOP reduction with no
+# memory-streaming tradeoff. Flag for the slope A/B
+# (imagenet32_exact_m0fac vs _m0gen).
+M0_FACTORED = True
+
+# How the per-block projection c = x @ T_blk^{-T} is applied: 'blocks'
+# uses the Toeplitz D-block structure (r(r+1)/2 block matmuls — 25%
+# fewer FLOPs at r=2), 'dense' the assembled t_inv. Slope A/B:
+# imagenet32_exact_applyblk vs _applydense.
+SOLVE_APPLY = "blocks"
+
+
+def _tri_inverse(m0, width: int = 1):
     """Exact inverse of an elementwise-triangular matrix by Newton-Schulz
     — no LU. Factor M0 = D (I + L') with D = diag(M0) and L' strictly
     triangular (hence nilpotent of index <= n); then iterate
     X <- X (2I - M X) on M = I + L': after k steps X = sum_{j<2^k} (-L')^j
-    EXACTLY, so ceil(log2(n)) iterations of two (n x n) matmuls finish.
-    jnp.linalg.inv's LU lowers to an O(n)-iteration sequential loop that
-    the TPU backend compiles for minutes; this is pure MXU matmuls and
-    compiles in seconds. Handles unit-LOWER (canonical masked kernel),
-    unit-UPPER (transposed kernel in the VJP), and non-unit diagonals
-    (emerging AR convs) alike."""
+    EXACTLY, so ceil(log2(nilpotency index)) iterations of two (n x n)
+    matmuls finish. jnp.linalg.inv's LU lowers to an O(n)-iteration
+    sequential loop that the TPU backend compiles for minutes; this is
+    pure MXU matmuls and compiles in seconds. Handles unit-LOWER
+    (canonical masked kernel), unit-UPPER (transposed kernel in the
+    VJP), and non-unit diagonals (emerging AR convs) alike.
+
+    ``width`` > 1 declares pixel-block Toeplitz structure (n = width*C
+    with identical (C,C) diagonal blocks A0 and all coupling strictly
+    between pixel blocks) and activates the reduced-iteration
+    factorization above.
+    """
     n = m0.shape[-1]
+    if M0_FACTORED and width > 1 and n % width == 0:
+        c = n // width
+        a0_inv = _tri_inverse(m0[:c, :c])        # (C,C), generic path
+        # m_unit = (I (x) A0^{-1}) M0 = I + N, N strictly pixel-block-tri
+        m_unit = jnp.einsum(
+            "ij,wjk->wik", a0_inv, m0.reshape(width, c, n),
+            precision=_sp()).reshape(n, n)
+        eye2 = 2.0 * jnp.eye(n, dtype=m0.dtype)
+        x = eye2 - m_unit
+        steps = max(1, (width - 1).bit_length() - 1)   # 2^(steps+1) >= W
+        for _ in range(steps):
+            x = jnp.matmul(x, eye2 - jnp.matmul(m_unit, x,
+                                                precision=_sp()),
+                           precision=_sp())
+        # (I+N)^{-1} (I (x) A0^{-1}): block-diagonal right-multiply via
+        # reshape — an (n*W, C)@(C, C) einsum, not a dense (n,n) matmul
+        return jnp.einsum("vwj,jk->vwk", x.reshape(n, width, c), a0_inv,
+                          precision=_sp()).reshape(n, n)
     d = jnp.diagonal(m0)
     m_unit = m0 / d[:, None]                     # I + L', unit diagonal
     eye2 = 2.0 * jnp.eye(n, dtype=m0.dtype)
@@ -232,7 +273,8 @@ def _tri_inverse(m0):
     return x / d[None, :]                        # (I+L')^{-1} D^{-1}
 
 
-def _block_toeplitz_inverse(mats, r_rows: int):
+def _block_toeplitz_inverse(mats, r_rows: int, width: int = 1,
+                            return_blocks: bool = False):
     """T_blk^{-1} without any large LU: T_blk is block-Toeplitz banded, so
     its inverse blocks depend only on the row offset d = i - j:
 
@@ -241,9 +283,11 @@ def _block_toeplitz_inverse(mats, r_rows: int):
     R-1 unrolled steps of (CW x CW) matmuls — loop-free and MXU-dense,
     where a generic LU of the (R*CW)^2 operator lowers to a long
     sequential factorization loop on TPU. Returns the dense (R*CW, R*CW)
-    inverse assembled from the D blocks."""
+    inverse assembled from the D blocks (plus the (R, CW, CW) block
+    stack itself when ``return_blocks``; ``width`` activates the
+    reduced-iteration M0 factorization, see :func:`_tri_inverse`)."""
     kh, cw = mats.shape[0], mats.shape[1]
-    m0_inv = _tri_inverse(mats[0])                            # (CW, CW)
+    m0_inv = _tri_inverse(mats[0], width=width)               # (CW, CW)
     d_blocks = [m0_inv]
     for d in range(1, r_rows):
         acc = None
@@ -261,7 +305,8 @@ def _block_toeplitz_inverse(mats, r_rows: int):
     gathered = stack[jnp.clip(q, 0, r_rows - 1)]
     gathered = jnp.where((q >= 0)[:, :, None, None], gathered, 0.0)
     t = jnp.transpose(gathered, (0, 2, 1, 3))
-    return t.reshape(r_rows * cw, r_rows * cw)
+    t = t.reshape(r_rows * cw, r_rows * cw)
+    return (t, stack) if return_blocks else t
 
 
 def _prev_block(mats, r_rows: int):
@@ -310,19 +355,36 @@ def _solve_ungrouped(x, w_eff, r_rows=None):
     # VJP's dx solve; _tri_inverse handles both (and non-unit diagonals).
     if kh == 1:
         # no inter-row dependence: one inverse applied to all rows at once.
-        m0_inv = _tri_inverse(mats[0])
+        m0_inv = _tri_inverse(mats[0], width=width)
         y_rows = jnp.einsum("bhi,ji->bhj", x_rows, m0_inv, precision=_sp())
     else:
         r = int(r_rows) if r_rows else _choose_block_rows(h, cw, kh)
         nb = -(-h // r)
         rcw, kcw = r * cw, (kh - 1) * cw
 
-        t_inv = _block_toeplitz_inverse(mats, r)
+        t_inv, d_stack = _block_toeplitz_inverse(mats, r, width=width,
+                                                 return_blocks=True)
         g = t_inv @ _prev_block(mats, r) if nb > 1 else None
 
         xp = jnp.pad(x_rows, ((0, 0), (0, nb * r - h), (0, 0)))
         xb = xp.reshape(b, nb, rcw)
-        c_all = jnp.einsum("bni,ji->bnj", xb, t_inv, precision=_sp())
+        if SOLVE_APPLY == "blocks" and r > 1:
+            # c = x @ T_blk^{-T} via the Toeplitz D-blocks: block (i,j)
+            # of t_inv is D[i-j] (zero above the diagonal), so only
+            # r(r+1)/2 of the r^2 block products exist — 25% fewer
+            # FLOPs at r=2 than the dense einsum, same result.
+            xs = xb.reshape(b, nb, r, cw)
+            c_sub = []
+            for i in range(r):
+                acc = None
+                for j in range(i + 1):
+                    term = jnp.einsum("bnw,vw->bnv", xs[:, :, j],
+                                      d_stack[i - j], precision=_sp())
+                    acc = term if acc is None else acc + term
+                c_sub.append(acc)
+            c_all = jnp.stack(c_sub, axis=2).reshape(b, nb, rcw)
+        else:
+            c_all = jnp.einsum("bni,ji->bnj", xb, t_inv, precision=_sp())
 
         if nb == 1:
             y_blocks = c_all
@@ -427,7 +489,7 @@ def solve_prepare(w_eff, h: int, width: int):
     cw = c * width
     r = _choose_block_rows(h, cw, kh)
     mats = _row_matrices(w_eff, width)
-    t_inv = _block_toeplitz_inverse(mats, r)
+    t_inv = _block_toeplitz_inverse(mats, r, width=width)
     g = jnp.matmul(t_inv, _prev_block(mats, r), precision=_sp())
     return {"t_inv": t_inv, "g": g}
 

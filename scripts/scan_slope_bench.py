@@ -277,6 +277,44 @@ CASES = {
             step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
         SOLVE_PRECISION="default", WGRAD_IMPL="conv",
         WGRAD_PRECISION="default", UNIT_CHAIN_VJP=False),
+    # FLOP-structure A/Bs (ops/inv_conv.py): M0_FACTORED = pixel-block
+    # factorization cuts Newton-Schulz iterations from ceil(log2(C*W))
+    # to ceil(log2(W)); SOLVE_APPLY='blocks' applies c = x @ T^{-T} via
+    # the Toeplitz D-blocks (r(r+1)/2 of r^2 block products). Both are
+    # pure-FLOP reductions, A/B'd against the same adopted precision
+    # defaults.
+    "imagenet32_exact_struct": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        M0_FACTORED=True, SOLVE_APPLY="blocks", PREPARED_SOLVE=False,
+        SOLVE_PRECISION="high", WGRAD_IMPL="conv",
+        WGRAD_PRECISION="default", UNIT_CHAIN_VJP=False),
+    "imagenet32_exact_nostruct": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        M0_FACTORED=False, SOLVE_APPLY="dense", PREPARED_SOLVE=False,
+        SOLVE_PRECISION="high", WGRAD_IMPL="conv",
+        WGRAD_PRECISION="default", UNIT_CHAIN_VJP=False),
+    "imagenet32_exact_m0only": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        M0_FACTORED=True, SOLVE_APPLY="dense", PREPARED_SOLVE=False,
+        SOLVE_PRECISION="high", WGRAD_IMPL="conv",
+        WGRAD_PRECISION="default", UNIT_CHAIN_VJP=False),
+    "imagenet32_b1024_remat_exact_struct": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact", remat=True),
+            (3, 32, 32), 1024),
+        M0_FACTORED=True, SOLVE_APPLY="blocks", PREPARED_SOLVE=False,
+        SOLVE_PRECISION="high", WGRAD_IMPL="conv",
+        WGRAD_PRECISION="default", UNIT_CHAIN_VJP=False),
+    "imagenet32_b1024_remat_exact_nostruct": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact", remat=True),
+            (3, 32, 32), 1024),
+        M0_FACTORED=False, SOLVE_APPLY="dense", PREPARED_SOLVE=False,
+        SOLVE_PRECISION="high", WGRAD_IMPL="conv",
+        WGRAD_PRECISION="default", UNIT_CHAIN_VJP=False),
     # PREPARED-operator A/B (ops/inv_conv.py PREPARED_SOLVE): operator
     # build hoisted out of the depth scan (vmapped over K) + backward
     # t_inv reuse via the transposed block scan, vs the per-call
