@@ -368,11 +368,14 @@ def _solve_ungrouped(x, w_eff, r_rows=None):
 
         xp = jnp.pad(x_rows, ((0, 0), (0, nb * r - h), (0, 0)))
         xb = xp.reshape(b, nb, rcw)
-        if SOLVE_APPLY == "blocks" and r > 1:
+        if SOLVE_APPLY == "blocks" and r > 1 and cw >= 256:
             # c = x @ T_blk^{-T} via the Toeplitz D-blocks: block (i,j)
             # of t_inv is D[i-j] (zero above the diagonal), so only
             # r(r+1)/2 of the r^2 block products exist — 25% fewer
-            # FLOPs at r=2 than the dense einsum, same result.
+            # FLOPs at r=2 than the dense einsum, same result. Gated on
+            # cw >= 256: below that the (cw,cw) block products are
+            # MXU-starved and one dense (rcw,rcw) matmul is better
+            # (flagship cw=56 keeps the dense path).
             xs = xb.reshape(b, nb, r, cw)
             c_sub = []
             for i in range(r):

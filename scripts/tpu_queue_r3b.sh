@@ -21,6 +21,8 @@ run() {
   echo "=== rc=$?" >> "$LOG"
 }
 
+# 0. struct A/B: M0 factorization + block apply vs dense (isolated)
+run python scripts/scan_slope_bench.py imagenet32_exact_nostruct --ab imagenet32_exact_struct --trials 4
 # 1. numerics validation of SOLVE_PRECISION='high' vs f64 oracle
 run python scripts/check_solve_precision.py
 # 2. fresh slope rows at the adopted defaults
