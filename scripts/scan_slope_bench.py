@@ -194,6 +194,12 @@ CASES = {
     "imagenet32_b1024_remat_exact": _train_case(
         lambda: _imagenet32_flow(step_kind="inv_flow_unit_exact",
                                  remat=True), (3, 32, 32), 1024),
+    # remat at SMALL batch: trades the scan's residual-stash DUS writes
+    # + backward re-reads for one recompute forward — the same
+    # recompute-beats-memory axis the prepared-operator A/B exposed
+    "imagenet32_exact_remat": _train_case(
+        lambda: _imagenet32_flow(step_kind="inv_flow_unit_exact",
+                                 remat=True), (3, 32, 32), 100),
     "imagenet32_b1024_remat_exact_bf16": _train_case(
         lambda: _imagenet32_flow(step_kind="inv_flow_unit_exact",
                                  remat=True, coupling_dtype="bfloat16"),
