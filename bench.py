@@ -76,7 +76,9 @@ CONFIGS = {
         coupling_dtype="bfloat16"),
     # production scale: reference batch and throughput-optimal batch
     "imagenet32": lambda: _glow_imagenet32(),
-    "imagenet32_b1024": lambda: _glow_imagenet32(batch=1024),
+    # remat required at b1024: without it activations exceed HBM
+    # (18.43 G > 15.75 G, BASELINE.md "Memory")
+    "imagenet32_b1024": lambda: _glow_imagenet32(batch=1024, remat=True),
     "imagenet32_exact": lambda: _glow_imagenet32(
         step_kind="inv_flow_unit_exact"),
     "imagenet32_bf16_couplings": lambda: _glow_imagenet32(
