@@ -315,8 +315,12 @@ def test_prepared_solve_matches_unprepared():
     at divisor and non-divisor heights and 2x2/3x3/3x2 kernels."""
     import inverse_flow_tpu.ops.inv_conv as ic
 
+    # shapes chosen to cover nb == 1 (no block scan), 1 < nb <= 4
+    # (unrolled transposed loop) and nb > 4 (lax.scan reverse branch):
+    # (16, 12, 8): cw=128 -> r=3, nb=4; (16, 32, 8): nb=11
     for (c, h, w, kh, kw) in [(4, 8, 8, 3, 3), (3, 7, 5, 3, 2),
-                              (2, 9, 6, 2, 2), (4, 3, 8, 3, 3)]:
+                              (2, 9, 6, 2, 2), (4, 3, 8, 3, 3),
+                              (16, 12, 8, 3, 3), (16, 32, 8, 3, 3)]:
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(c * h + kw), 3)
         w_eff = apply_mask(
             0.3 * jax.random.normal(k1, (c, c, kh, kw), jnp.float32))
@@ -341,10 +345,15 @@ def test_prepared_solve_matches_unprepared():
 
         g1 = jax.grad(f1, (0, 1))(x, w_eff)
         g2 = jax.grad(f2, (0, 1))(x, w_eff)
-        np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
-                                   atol=2e-3, rtol=2e-4)
-        np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
-                                   atol=2e-3, rtol=2e-4)
+        # scale-aware comparison: at 0.3-scale random kernels ||T^{-1}||
+        # grows geometrically with H, so gradient magnitudes reach ~1e15
+        # at (16,32,8) and any absolute atol is meaningless; measured
+        # agreement is ~3e-6 relative at every shape
+        for a, b in zip(g1, g2):
+            scale = float(jnp.max(jnp.abs(a)))
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(b) / scale,
+                                       atol=1e-4)
 
 
 def test_prepared_block_parity_and_gate():
