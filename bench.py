@@ -269,6 +269,28 @@ def main():
                     help="run the known-FLOPs barrier validation first")
     args = ap.parse_args()
 
+    # The tunneled device backend can wedge so hard that jax.devices()
+    # never returns (observed 2026-08-17: hours-long hang). Probe it in
+    # a killable subprocess first so a wedged tunnel yields an honest
+    # one-line error instead of hanging the driver to its timeout.
+    import subprocess
+    import sys
+    try:
+        subprocess.run([sys.executable, "-c",
+                        "import jax; jax.devices()"],
+                       timeout=180, check=True,
+                       stdout=subprocess.DEVNULL,
+                       stderr=subprocess.DEVNULL)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(json.dumps({
+            "metric": "glow_mnist_train_step", "value": None, "unit": "ms",
+            "vs_baseline": None,
+            "error": f"device backend unavailable ({type(e).__name__}): "
+                     "the tunnel did not answer a jax.devices() probe "
+                     "within 180 s; see results/true_step_time.jsonl for "
+                     "the last measured numbers"}), flush=True)
+        return
+
     from inverse_flow_tpu import enable_compilation_cache
     enable_compilation_cache()
 
