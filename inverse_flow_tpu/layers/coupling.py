@@ -38,10 +38,13 @@ class Coupling(FlowLayer):
     # 'float32' (default) or 'bfloat16': the mixed-precision policy for
     # the coupling NET only (where nearly all model FLOPs live). bf16
     # stores the net's activations/weights at half width — halving the
-    # HBM traffic of the wide convs — while every conv still ACCUMULATES
-    # in f32 (preferred_element_type) and the affine transform itself
-    # (log_s, t, exp, ldj sum) stays f32, so invertibility and the
-    # likelihood accounting are full precision.
+    # HBM traffic of the wide convs. The convs request bf16 outputs
+    # (preferred_dtype=dt); on the TPU MXU the partial products still
+    # accumulate in f32 as a hardware property, but that is NOT an XLA
+    # guarantee on other backends (CPU tests / interpret mode may
+    # accumulate in bf16). The affine transform itself (log_s, t, exp,
+    # ldj sum) stays f32, so invertibility and the likelihood accounting
+    # are full precision regardless.
     compute_dtype: str = "float32"
 
     @property

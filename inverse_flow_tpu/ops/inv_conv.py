@@ -731,8 +731,9 @@ def _inv_conv_bwd(groups, res, g):
 WGRAD_IMPL = "conv"
 
 # MXU pass count for the weight-gradient contraction only. The SOLVE
-# stays at Precision.HIGHEST (bf16x6 f32 emulation) — invertibility
-# round-trips and exact log-dets depend on it — but dW is a *gradient*,
+# runs at SOLVE_PRECISION (default 'high', bf16x3 — see that policy's
+# comment above; on-chip f64-oracle validation:
+# scripts/check_solve_precision.py) — but dW is a *gradient*,
 # and every other gradient in the framework (coupling convs, ops/convs.py)
 # already runs at DEFAULT (one bf16 pass, f32 accumulation). Slope A/B
 # verdicts at imagenet32_exact b100 (results/true_step_time.jsonl,

@@ -217,10 +217,15 @@ class Experiment:
             # shard_map body: x is the LOCAL batch shard; grads/losses are
             # pmean-reduced over the mesh before the (replicated) optimizer
             # update — the explicit-SPMD equivalent of DataParallel's
-            # gradient all-reduce. The rng is shared by all shards, which
-            # matches the reference's DataParallel semantics (each replica
-            # draws dequantization noise from its own identically-seeded
-            # per-device generator).
+            # gradient all-reduce. Each shard folds its data-axis index
+            # into the step rng so dequantization noise is independent
+            # across shards — strictly better MC coverage than the
+            # reference DataParallel's identically-seeded per-replica
+            # generators, which reuse the same noise values on every
+            # replica's (different) samples. Per-shard equivalence:
+            # shard i's draw == fold_in(rng, i) on a single device
+            # (tested in test_shard_map_dp_per_shard_noise_semantics).
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
             (_, (loss, recon)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, x, rng,
                                        state.recon_weight)
@@ -264,6 +269,9 @@ class Experiment:
                 donate_argnums=donate)
 
             def dp_eval(params, x, rng):
+                # same per-shard fold as dp_train_step: independent eval
+                # MC noise across shards
+                rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
                 return jax.lax.psum(eval_logpx_sum(params, x, rng), "data")
             self._eval_logpx = jax.jit(
                 jax.shard_map(dp_eval, mesh=self.mesh,
@@ -320,7 +328,11 @@ class Experiment:
             # range wraps — either breaks equality); the cast output IS
             # the upload buffer, so the check costs one cast + one
             # comparison. Empty batches decide nothing.
-            u8 = x.astype(np.uint8)
+            # errstate: NaN/inf float batches would warn on the probe
+            # cast ("invalid value encountered"); the equality check
+            # below still correctly rejects them.
+            with np.errstate(invalid="ignore"):
+                u8 = x.astype(np.uint8)
             if np.array_equal(u8, x):
                 self._u8_upload = True
                 x = jnp.asarray(np.ascontiguousarray(u8)).astype(jnp.float32)
