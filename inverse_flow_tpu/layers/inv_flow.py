@@ -260,6 +260,15 @@ class InvFlowUnit(FlowLayer):
             y = fused_chain_solve(x, w_effs, ORDERS)
             return y, zeros_ldj(y)
         from ..ops import inv_conv as _ic
+        if _ic.UNIT_CHAIN_BATCHED and self.kernel_size[0] >= 2:
+            # Exact path with ONE vmapped operator build across the 4
+            # orders + backward t_inv reuse (2 batched builds per step
+            # instead of 8 sequential ones — the 65%-of-step profile
+            # line, ops/inv_conv.py UNIT_CHAIN_BATCHED note). Values and
+            # gradients match the per-layer composition.
+            w_effs = tuple(apply_mask(p["w"]) for p in params["convs"])
+            y = _ic.inv_conv_chain_solve_batched(x, w_effs, ORDERS)
+            return y, zeros_ldj(y)
         if _ic.UNIT_CHAIN_VJP:
             # Exact path through the whole-unit chain VJP: identical
             # values/gradients to the per-layer composition, but the 4

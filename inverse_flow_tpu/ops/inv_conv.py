@@ -497,41 +497,56 @@ def solve_prepare(w_eff, h: int, width: int):
     return {"t_inv": t_inv, "g": g}
 
 
-def _apply_prepared(x, t_inv, g):
+def _apply_built(x, t_inv, g, kh: int):
+    """Apply a prebuilt block operator: solve ``T y = x`` given
+    ``t_inv`` (R*CW, R*CW) and the coupling ``g`` (may be None when the
+    image fits one block)."""
     b, c, h, width = x.shape
     cw = c * width
     rcw = t_inv.shape[0]
     r = rcw // cw
     nb = -(-h // r)
-    kcw = g.shape[1]
 
     x_rows = jnp.transpose(x, (0, 2, 3, 1)).reshape(b, h, cw)
     xp = jnp.pad(x_rows, ((0, 0), (0, nb * r - h), (0, 0)))
     xb = xp.reshape(b, nb, rcw)
     c_all = jnp.einsum("bni,ji->bnj", xb, t_inv, precision=_sp())
-    y_blocks = c_all if nb == 1 else _scan_blocks_xla(c_all, g, kcw)
+    if nb == 1:
+        y_blocks = c_all
+    else:
+        y_blocks = _scan_blocks_xla(c_all, g, (kh - 1) * cw)
     y_rows = y_blocks.reshape(b, nb * r, cw)[:, :h]
     y = y_rows.reshape(b, h, width, c)
     return jnp.transpose(y, (0, 3, 1, 2))
 
 
-def _apply_prepared_t(g_ct, w_eff, t_inv):
+def _apply_prepared(x, t_inv, g):
+    kh = g.shape[1] // (x.shape[1] * x.shape[3]) + 1
+    return _apply_built(x, t_inv, g, kh)
+
+
+def _apply_built_t(g_ct, t_inv, p, kh: int):
     """``z = T^{-T} g_ct`` by a reverse block scan reusing the forward's
     ``t_inv`` (operator transposition = contracting t_inv on the other
     side; the padded system's transpose truncates exactly because
-    Pad^T = Trunc)."""
+    Pad^T = Trunc). ``p`` is the prebuilt previous-block map (may be
+    None when the image fits one block)."""
     b, c, h, width = g_ct.shape
     cw = c * width
     rcw = t_inv.shape[0]
     r = rcw // cw
     nb = -(-h // r)
-    kh = w_eff.shape[2]
     kcw = (kh - 1) * cw
-    p = _prev_block(_row_matrices(w_eff, width), r)    # gather only
 
     g_rows = jnp.transpose(g_ct, (0, 2, 3, 1)).reshape(b, h, cw)
     gp = jnp.pad(g_rows, ((0, 0), (0, nb * r - h), (0, 0)))
     gb = gp.reshape(b, nb, rcw)
+
+    if nb == 1:
+        z = jnp.einsum("bni,ij->bnj", gb, t_inv, precision=_sp())
+        z_rows = z.reshape(b, nb * r, cw)[:, :h]
+        return jnp.transpose(z_rows.reshape(b, h, width, c),
+                             (0, 3, 1, 2))
 
     def step(v, g_n):
         m = g_n.at[:, rcw - kcw:].add(-v)
@@ -551,6 +566,19 @@ def _apply_prepared_t(g_ct, w_eff, t_inv):
         z = jnp.transpose(z, (1, 0, 2))
     z_rows = z.reshape(b, nb * r, cw)[:, :h]
     return jnp.transpose(z_rows.reshape(b, h, width, c), (0, 3, 1, 2))
+
+
+def _apply_prepared_t(g_ct, w_eff, t_inv):
+    """Transposed solve reusing the forward ``t_inv`` (see
+    :func:`_apply_built_t`); rebuilds only the matmul-free previous-block
+    gather from the kernel."""
+    cw = g_ct.shape[1] * g_ct.shape[3]
+    r = t_inv.shape[0] // cw
+    kh = w_eff.shape[2]
+    nb = -(-g_ct.shape[2] // r)
+    p = (_prev_block(_row_matrices(w_eff, g_ct.shape[3]), r)
+         if nb > 1 else None)
+    return _apply_built_t(g_ct, t_inv, p, kh)
 
 
 @jax.custom_vjp
@@ -866,6 +894,112 @@ def _chain_bwd(orders, res, g):
 
 
 inv_conv_chain_solve.defvjp(_chain_fwd, _chain_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Batched-build chain: ONE vmapped operator build for all unit orders
+# ---------------------------------------------------------------------------
+#
+# The post-wgrad-fix profile attributes 65% of the exact ImageNet32 step
+# to the solve's per-order operator rebuilds (Newton-Schulz + block-
+# Toeplitz matmuls at (CW, CW) = (192, 192) — far below MXU-saturating
+# size, so the line item is dispatch/utilization-bound, not FLOP-bound).
+# Key structure: within an InvFlowUnit only the APPLIES are sequential
+# (order i+1 consumes order i's output); the four operator builds depend
+# only on the weights. This path therefore:
+#
+#   fwd: one vmapped build over the 4 stacked canonical kernels
+#        ((4, CW, CW) batched matmuls instead of 4 sequential singles),
+#        then 4 sequential prebuilt applies (flip . _apply_built . flip).
+#   bwd: REBUILDS the batched operators from the (tiny) kernel residuals
+#        — deliberately not saved forward residuals, so nothing large
+#        streams through the scan-over-depth stash (the hoisted
+#        PREPARED_SOLVE path lost 16% exactly to that streaming) — and
+#        reuses each order's FORWARD-frame t_inv for the transposed
+#        solve (``_apply_built_t``), eliminating the 4 transposed
+#        rebuilds entirely: 2 batched builds per unit step instead of 8
+#        sequential ones.
+#
+# Weight gradients stay per-order convs (the order-batched wgrad was
+# slope-measured 1.5% WORSE — UNIT_CHAIN_VJP note above). Values and
+# gradients are identical to the per-layer composition up to f32
+# accumulation order (test_chain_batched_matches_per_layer).
+
+# Whether InvFlowUnit's exact path routes through the batched-build
+# chain. Slope A/B: imagenet32_exact_chainbatch vs _nochainbatch.
+UNIT_CHAIN_BATCHED = False
+
+
+def _chain_build(wstack, h: int, width: int):
+    """Vmapped operator build for ``n`` same-shape canonical kernels.
+
+    Returns (t_inv (n, RCW, RCW), g (n, RCW, KCW) | None,
+    p (n, RCW, KCW) | None); g/p are None when the image fits one block.
+    """
+    c, kh = wstack.shape[1], wstack.shape[3]
+    cw = c * width
+    r = _choose_block_rows(h, cw, kh)
+    nb = -(-h // r)
+    mats = jax.vmap(lambda w: _row_matrices(w, width))(wstack)
+    t_inv = jax.vmap(
+        lambda m: _block_toeplitz_inverse(m, r, width=width))(mats)
+    if nb == 1:
+        return t_inv, None, None
+    p = jax.vmap(lambda m: _prev_block(m, r))(mats)
+    g = jnp.einsum("nij,njk->nik", t_inv, p, precision=_sp())
+    return t_inv, g, p
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def inv_conv_chain_solve_batched(x, ws, orders):
+    """Chain of oriented inverse-conv solves with ONE batched operator
+    build (see module note above). Semantically identical to
+    :func:`inv_conv_chain_solve` / the per-layer composition. ``ws`` are
+    effective (masked) kernels in canonical TL orientation, groups == 1,
+    all the same shape, kh >= 2."""
+    return _chainb_forward(x, ws, orders)[0]
+
+
+def _chainb_forward(x, ws, orders):
+    kh = ws[0].shape[2]
+    t_inv, g, _ = _chain_build(jnp.stack(ws), x.shape[2], x.shape[3])
+    ys = []
+    y = x
+    for i, o in enumerate(orders):
+        ax = _CHAIN_FLIPS[o]
+        yf = _apply_built(jnp.flip(y, ax) if ax else y, t_inv[i],
+                          None if g is None else g[i], kh)
+        ys.append(yf)
+        y = jnp.flip(yf, ax) if ax else yf
+    return y, tuple(ys)
+
+
+def _chainb_fwd(x, ws, orders):
+    y, ys = _chainb_forward(x, ws, orders)
+    return y, (ys, ws)
+
+
+def _chainb_bwd(orders, res, g_ct):
+    ys, ws = res
+    kh, kw = ws[0].shape[2], ws[0].shape[3]
+    # rebuild (batched) rather than stream forward-saved operators
+    t_inv, _, p = _chain_build(jnp.stack(ws), ys[0].shape[2],
+                               ys[0].shape[3])
+    dws = [None] * len(ws)
+    g = g_ct
+    for i in reversed(range(len(ws))):
+        ax = _CHAIN_FLIPS[orders[i]]
+        g_o = jnp.flip(g, ax) if ax else g
+        dx_o = _apply_built_t(g_o, t_inv[i], None if p is None else p[i],
+                              kh)
+        y_pad = jnp.pad(ys[i], ((0, 0), (0, 0), (kh - 1, 0),
+                                (kw - 1, 0)))
+        dws[i] = -_wgrad(dx_o, y_pad, kh, kw)
+        g = jnp.flip(dx_o, ax) if ax else dx_o
+    return g, tuple(dws)
+
+
+inv_conv_chain_solve_batched.defvjp(_chainb_fwd, _chainb_bwd)
 
 
 # ---------------------------------------------------------------------------

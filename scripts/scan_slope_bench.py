@@ -110,6 +110,43 @@ def _imagenet32_flow(**kw):
     return build_glow((3, 32, 32), **args)
 
 
+def _eval_case(build_flow, size, batch):
+    """Forward-direction only (the model's training-direction transform
+    with NO gradient): adjudicates forward/sampling-direction claims —
+    for inv-flow units this is the solve chain exactly as sampling uses
+    it in FincFlow/CInC (reference ``cinc_cuda_level2``'s sampling-only
+    role, ``inf/layers/fincflow.py:79-101``)."""
+    def builder():
+        import jax
+        import jax.numpy as jnp
+
+        from inverse_flow_tpu.data import synthetic
+
+        flow = build_flow()
+        rng = jax.random.PRNGKey(0)
+        x = jnp.asarray(synthetic.smooth_images(batch, size), jnp.float32)
+        params, _ = flow.init(rng, size)
+        params = flow.data_init(params, x, rng=rng)
+
+        def make_program(K):
+            @jax.jit
+            def run_K(p, x0):
+                def body(xc, _):
+                    y, ldj = flow.forward(p, xc)
+                    # renormalize so K chained applications stay finite
+                    y = y / (1.0 + jnp.std(y))
+                    return y, jnp.mean(ldj)
+                y, ldjs = jax.lax.scan(body, x0, None, length=K)
+                return jnp.sum(y.astype(jnp.float32)) + ldjs[-1]
+
+            def dispatch(seed):
+                return run_K(params, x * (1.0 + seed * 1e-6))
+            return dispatch
+
+        return make_program, {"batch": batch}
+    return builder
+
+
 def _matmul_case(dtype_name, n=4096):
     def builder():
         import jax
@@ -382,6 +419,68 @@ CASES = {
             step_kind="inv_flow_unit_exact", remat=True),
             (3, 32, 32), 1024),
         UNIT_CHAIN_VJP=False, WGRAD_IMPL="conv", WGRAD_PRECISION="highest"),
+    # BATCHED-BUILD chain A/B (ops/inv_conv.py UNIT_CHAIN_BATCHED): one
+    # vmapped operator build across the unit's 4 orders + backward
+    # t_inv reuse (2 batched builds/step vs 8 sequential), targeting the
+    # 65%-of-step operator-rebuild profile line. Knobs pinned to adopted
+    # defaults so the A/B isolates the restructure.
+    "imagenet32_exact_chainbatch": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        UNIT_CHAIN_BATCHED=True, UNIT_CHAIN_VJP=False,
+        SOLVE_PRECISION="high", WGRAD_IMPL="conv",
+        WGRAD_PRECISION="default", PREPARED_SOLVE=False),
+    "imagenet32_exact_nochainbatch": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        UNIT_CHAIN_BATCHED=False, UNIT_CHAIN_VJP=False,
+        SOLVE_PRECISION="high", WGRAD_IMPL="conv",
+        WGRAD_PRECISION="default", PREPARED_SOLVE=False),
+    "imagenet32_b1024_remat_exact_chainbatch": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact", remat=True),
+            (3, 32, 32), 1024),
+        UNIT_CHAIN_BATCHED=True, UNIT_CHAIN_VJP=False,
+        SOLVE_PRECISION="high", WGRAD_IMPL="conv",
+        WGRAD_PRECISION="default", PREPARED_SOLVE=False),
+    "imagenet32_b1024_remat_exact_nochainbatch": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact", remat=True),
+            (3, 32, 32), 1024),
+        UNIT_CHAIN_BATCHED=False, UNIT_CHAIN_VJP=False,
+        SOLVE_PRECISION="high", WGRAD_IMPL="conv",
+        WGRAD_PRECISION="default", PREPARED_SOLVE=False),
+    "glow_mnist_units_chainbatch": _with_op_flags(
+        _train_case(lambda: _glow_mnist_flow(
+            step_kind="inv_flow_unit_exact"), (1, 28, 28), 100),
+        UNIT_CHAIN_BATCHED=True, UNIT_CHAIN_VJP=False,
+        SOLVE_PRECISION="high", WGRAD_IMPL="conv",
+        WGRAD_PRECISION="default", PREPARED_SOLVE=False),
+    "glow_mnist_units_nochainbatch": _with_op_flags(
+        _train_case(lambda: _glow_mnist_flow(
+            step_kind="inv_flow_unit_exact"), (1, 28, 28), 100),
+        UNIT_CHAIN_BATCHED=False, UNIT_CHAIN_VJP=False,
+        SOLVE_PRECISION="high", WGRAD_IMPL="conv",
+        WGRAD_PRECISION="default", PREPARED_SOLVE=False),
+    # forward/sampling-direction adjudication (VERDICT r3 #5): the fused
+    # Pallas chain kernel's remaining claimed niche is the solve-only
+    # direction; eval cases run the forward transform with NO gradient.
+    "imagenet32_eval_exact": _eval_case(
+        lambda: _imagenet32_flow(step_kind="inv_flow_unit_exact"),
+        (3, 32, 32), 100),
+    "imagenet32_eval_fused": _eval_case(
+        lambda: _imagenet32_flow(step_kind="inv_flow_unit_fused"),
+        (3, 32, 32), 100),
+    "glow_mnist_units_eval_exact": _eval_case(
+        lambda: _glow_mnist_flow(step_kind="inv_flow_unit_exact"),
+        (1, 28, 28), 100),
+    "glow_mnist_units_eval_fused": _eval_case(
+        lambda: _glow_mnist_flow(step_kind="inv_flow_unit_fused"),
+        (1, 28, 28), 100),
+    "imagenet32_eval_exact_chainbatch": _with_op_flags(
+        _eval_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        UNIT_CHAIN_BATCHED=True),
     # scan-over-depth DUS overhead: unroll factor A/B (same stacked
     # params, body replicated N times per loop iteration)
     "imagenet32_exact_unroll8": _train_case(
@@ -428,7 +527,39 @@ CASES = {
 }
 
 
-def run_ab(case_a, case_b, k1, k2, trials, out):
+# Session-variance calibration (VERDICT r3 #6): the same program's slope
+# drifts ±35% across sessions (BASELINE.md "Session variance"), so raw
+# ms from different sessions don't compare. Every run co-measures the
+# known-FLOPs matmul_bf16 chain and reports ms normalized to the
+# reference session rate below (the session that produced the round-3
+# adopted-defaults headline): ms_norm = ms_raw * calib_tflops / REF.
+CALIB_REF_TFLOPS = 190.71
+
+
+def measure_calib(k1=8, k2=40, trials=3):
+    """Slope-measure the 4096^3 bf16 matmul chain; returns TFLOP/s."""
+    make, meta = CASES["matmul_bf16"]()
+    pa, pb = make(k1), make(k2)
+    float(pa(0))
+    float(pb(0))
+    slopes = []
+    for t in range(trials):
+        t0 = time.perf_counter()
+        float(pa(t + 1))
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(pb(t + 1))
+        tb = time.perf_counter() - t0
+        slopes.append((tb - ta) / (k2 - k1))
+    med = float(np.median(slopes))
+    tflops = meta["flops_per_step"] / med / 1e12
+    print(f"# calibration: matmul_bf16 {med * 1e3:.4f} ms/step = "
+          f"{tflops:.1f} TFLOP/s ({tflops / CALIB_REF_TFLOPS:.3f}x ref)",
+          flush=True)
+    return round(tflops, 2)
+
+
+def run_ab(case_a, case_b, k1, k2, trials, out, calib=None):
     """IN-PROCESS A/B: all four programs (A/B x K1/K2) live in one
     process and trials interleave A-pair/B-pair, so the adjudication is
     immune to the ~35% session-to-session device-rate drift that
@@ -476,6 +607,10 @@ def run_ab(case_a, case_b, k1, k2, trials, out):
            "b_wins_of": [b_wins, trials],
            "pairs": rows, "compile_s": compile_s,
            "batch": meta_a.get("batch")}
+    if calib:
+        row["calib_tflops"] = calib
+        row["ms_norm_a"] = round(med_a * calib / CALIB_REF_TFLOPS, 4)
+        row["ms_norm_b"] = round(med_b * calib / CALIB_REF_TFLOPS, 4)
     print(json.dumps(row), flush=True)
     with open(out, "a") as f:
         f.write(json.dumps(row) + "\n")
@@ -491,6 +626,9 @@ def main():
     ap.add_argument("--k2", type=int, default=36)
     ap.add_argument("--trials", type=int, default=4)
     ap.add_argument("--out", default="results/true_step_time.jsonl")
+    ap.add_argument("--no-calibrate", action="store_true",
+                    help="skip the known-FLOPs matmul co-run (raw ms "
+                         "only, not session-comparable)")
     args = ap.parse_args()
 
     from inverse_flow_tpu import enable_compilation_cache
@@ -498,9 +636,11 @@ def main():
     import jax
     print(f"# device: {jax.devices()[0]}", flush=True)
 
+    calib = None if args.no_calibrate else measure_calib()
+
     if args.ab is not None:
         run_ab(args.case, args.ab, args.k1, args.k2, args.trials,
-               args.out)
+               args.out, calib=calib)
         return
 
     make_program, meta = CASES[args.case]()
@@ -542,6 +682,9 @@ def main():
                               2)
     if "batch" in meta and med > 0:
         row["images_per_sec"] = round(meta["batch"] / (med * 1e-3), 1)
+    if calib:
+        row["calib_tflops"] = calib
+        row["ms_per_step_norm"] = round(med * calib / CALIB_REF_TFLOPS, 4)
     print(json.dumps(row), flush=True)
     with open(args.out, "a") as f:
         f.write(json.dumps(row) + "\n")

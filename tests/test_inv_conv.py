@@ -308,6 +308,49 @@ def test_chain_vjp_matches_per_layer_composition():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_chain_batched_matches_per_layer():
+    """The batched-build chain (``inv_conv_chain_solve_batched``: one
+    vmapped operator build for all 4 orders + backward t_inv reuse) must
+    be value- and gradient-identical to the per-layer composition, at
+    shapes covering nb == 1, the unrolled 1 < nb <= 4 loop, and the
+    nb > 4 lax.scan branch of the transposed apply."""
+    import inverse_flow_tpu.ops.inv_conv as ic
+    from inverse_flow_tpu.layers.inv_flow import InvFlowUnit
+
+    # (c, h, w): h=3 -> nb=1 at cw<=128; h=8 -> nb in 2..4; h=48 -> nb>4
+    for (c, h, w, kh, kw) in [(4, 3, 6, 3, 3), (4, 8, 6, 3, 3),
+                              (2, 48, 4, 3, 2), (3, 9, 5, 2, 3)]:
+        ks = jax.random.split(jax.random.PRNGKey(c * h + kw), 6)
+        x = jax.random.normal(ks[0], (2, c, h, w), jnp.float32)
+        unit = InvFlowUnit(c, kernel_size=(kh, kw))
+        params = {"convs": [
+            {"w": 0.2 * jax.random.normal(k, (c, c, kh, kw), jnp.float32)}
+            for k in ks[1:5]]}
+
+        def loss(p, batched, unit=unit, x=x):
+            old = ic.UNIT_CHAIN_BATCHED
+            ic.UNIT_CHAIN_BATCHED = batched
+            try:
+                y, _ = unit.forward(p, x)
+            finally:
+                ic.UNIT_CHAIN_BATCHED = old
+            return jnp.sum(jnp.sin(y)), y
+
+        (v1, y1), g1 = jax.value_and_grad(loss, has_aux=True)(params, True)
+        (v2, y2), g2 = jax.value_and_grad(loss, has_aux=True)(params,
+                                                              False)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   atol=1e-5, rtol=1e-5)
+        # scale-aware: the batched build contracts in a different f32
+        # accumulation order; gradient magnitudes reach ~1e3 at the
+        # deep-chain shapes (same convention as the prepared-solve test)
+        for a, b_ in zip(g1["convs"], g2["convs"]):
+            scale = max(float(jnp.max(jnp.abs(b_["w"]))), 1.0)
+            np.testing.assert_allclose(np.asarray(a["w"]) / scale,
+                                       np.asarray(b_["w"]) / scale,
+                                       atol=1e-5)
+
+
 def test_prepared_solve_matches_unprepared():
     """Prepared-operator path (build-once t_inv/G + transposed-scan VJP,
     ``inv_conv_solve_prepared``): values must be bit-identical to

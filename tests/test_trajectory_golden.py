@@ -153,6 +153,180 @@ def test_trajectory_exact_invconv_sgd(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# (c) reduced Glow with FincFlow + Emerging + ConvExp in ONE stack, 50 steps
+# ---------------------------------------------------------------------------
+#
+# VERDICT r3 item 8: extend trajectory parity beyond the inv-conv and
+# selfnorm stacks to the remaining invertible-conv families —
+# Finc_FlowUnit (``inf/layers/fincflow.py:32-51``), Emerging
+# (``emerging_module.py:89-116``) and ConvExp with spectral-norm power
+# iteration carried across steps (``convexp_module.py:9-81``,
+# ``spectral.py:208-244``) — so a transcription slip in any of their
+# update-rule interactions (carried u refresh order, AR-diagonal ldj,
+# masked-chunk flips) shows up as trajectory divergence.
+
+def _t_tl_conv(x, w_eff):
+    """Masked conv with TL zero padding (masked_conv_apply geometry)."""
+    kh, kw = w_eff.shape[2], w_eff.shape[3]
+    return F.conv2d(F.pad(x, (kw - 1, 0, kh - 1, 0)), w_eff)
+
+
+def _t_fincflow(x, ws_eff):
+    """4 channel chunks through TL/TR/BL/BR pad orders; ldj = 0
+    (``fincflow.py:32-51``)."""
+    flips = ((), (3,), (2,), (2, 3))
+    outs = []
+    for chunk, w, ax in zip(torch.chunk(x, 4, dim=1), ws_eff, flips):
+        c = torch.flip(chunk, ax) if ax else chunk
+        z = _t_tl_conv(c, w)
+        outs.append(torch.flip(z, ax) if ax else z)
+    return torch.cat(outs, dim=1), torch.zeros(x.shape[0],
+                                               dtype=torch.float64)
+
+
+def _t_square_ar(x, w_eff, b, diag):
+    z = _t_tl_conv(x, w_eff) + b.view(1, -1, 1, 1)
+    ld = torch.log(torch.abs(diag)).sum() * x.shape[2] * x.shape[3]
+    return z, ld.expand(x.shape[0])
+
+
+def _t_spectral(kernel, u, c, h, w, coeff=0.9):
+    """Power-iteration spectral constraint (convexp.spectral_normalize):
+    v/u' from the detached kernel, sigma = <u', conv(v; LIVE kernel)>."""
+    ksg = kernel.detach()
+    v = torch.nn.grad.conv2d_input((1, c, h, w), ksg, u.view(1, c, h, w),
+                                   padding=1).flatten()
+    v = v / (v.norm() + 1e-12)
+    u2 = F.conv2d(v.view(1, c, h, w), ksg, padding=1).flatten()
+    u2 = u2 / (u2.norm() + 1e-12)
+    wv = F.conv2d(v.view(1, c, h, w), kernel, padding=1).flatten()
+    sigma = u2 @ wv
+    factor = torch.clamp(sigma / coeff, min=1.0)
+    return kernel / (factor + 1e-5), u2.detach(), sigma
+
+
+def _t_conv_exp(x, kernel, terms):
+    result, product = x, x
+    for i in range(1, terms + 1):
+        product = F.conv2d(product, kernel, padding=1) / i
+        result = result + product
+    return result
+
+
+@pytest.mark.slow
+def test_trajectory_fincflow_emerging_convexp(tmp_path):
+    from inverse_flow_tpu.layers import (ConvExp, Emerging, FincFlowUnit,
+                                         Normalization, Squeeze)
+    from inverse_flow_tpu.layers.emerging import square_ar_mask
+    from inverse_flow_tpu.ops.inv_conv import apply_mask
+
+    C, HS = 4, 4                         # post-squeeze: (4, 4, 4)
+    size = (1, 8, 8)
+    flow = Flow(GaussianPrior((C, HS, HS)), [
+        Normalization(0.0, 256.0),
+        Squeeze(),
+        FincFlowUnit(C, (2, 2)),
+        Emerging(C),
+        ConvExp((C, HS, HS)),
+    ])
+
+    rs = np.random.RandomState(11)
+    n, batch, steps_per_epoch = 30, 6, 5
+    data = (rs.randint(0, 256, (n,) + size)
+            + rs.uniform(0.0, 1.0, (n,) + size)).astype(np.float32)
+
+    LR = 2e-3
+    exp = _make_experiment(flow, data, dict(batch_size=batch, lr=LR,
+                                            modified_grad=True,
+                                            add_recon_grad=False),
+                           tmp_path)
+    params0 = jax.device_get(exp.state.params)
+    exp._data_initialized = True         # keep the init u on both sides
+
+    losses_jax = []
+    state = exp.state
+    for epoch in range(10):              # 10 x 5 = 50 steps
+        for b in range(steps_per_epoch):
+            x = jnp.asarray(data[b * batch:(b + 1) * batch])
+            state, loss, _ = exp._train_step(state, x,
+                                             jax.random.PRNGKey(0))
+            losses_jax.append(float(loss))
+
+    # ---- torch/f64 replica -------------------------------------------
+    finc_ws = [t64(w, True) for w in params0[2]["ws"]]
+    em = params0[3]["t"]
+    em_1x1 = t64(em[0]["W"], True)
+    ar1_w, ar1_b = t64(em[1]["w"], True), t64(em[1]["b"], True)
+    ar2_w, ar2_b = t64(em[3]["w"], True), t64(em[3]["b"], True)
+    ce = params0[4]
+    ce_k = t64(ce["kernel"], True)
+    ce_pre, ce_post = t64(ce["pre_bias"], True), t64(ce["post_bias"], True)
+    ce_1x1 = t64(ce["conv1x1"]["W"], True)
+    ce_u = t64(ce["u"])                  # carried, not learnable
+
+    learnable = (finc_ws + [em_1x1, ar1_w, ar1_b, ar2_w, ar2_b,
+                            ce_k, ce_pre, ce_post, ce_1x1])
+    m_finc = t64(np.asarray(apply_mask(jnp.ones_like(params0[2]["ws"][0]))
+                            - apply_mask(jnp.zeros_like(
+                                params0[2]["ws"][0]))))
+    base_finc = t64(np.asarray(apply_mask(
+        jnp.zeros_like(params0[2]["ws"][0]))))
+    m_ar = t64(np.asarray(square_ar_mask(C)))
+    idx = torch.arange(C)
+
+    def t_loss(x_np, u):
+        x = t64(x_np)
+        total = torch.zeros(x.shape[0], dtype=torch.float64)
+        x, l = _t_normalize(x, 0.0, 256.0); total = total + l
+        x, l = _t_squeeze(x); total = total + l
+        x, l = _t_fincflow(x, [m_finc * w + base_finc for w in finc_ws])
+        total = total + l
+        # Emerging: 1x1, AR, flip, AR, flip
+        x, l = _t_conv1x1(x, em_1x1); total = total + l
+        x, l = _t_square_ar(x, m_ar * ar1_w, ar1_b,
+                            ar1_w[idx, idx, -1, -1]); total = total + l
+        x = torch.flip(x, (2, 3))
+        x, l = _t_square_ar(x, m_ar * ar2_w, ar2_b,
+                            ar2_w[idx, idx, -1, -1]); total = total + l
+        x = torch.flip(x, (2, 3))
+        # ConvExp: pre-bias, 1x1, series, trace ldj, post-bias
+        k_n, u2, _ = _t_spectral(ce_k, u, C, HS, HS)
+        x = x + ce_pre
+        x, l = _t_conv1x1(x, ce_1x1); total = total + l
+        x = _t_conv_exp(x, k_n, 6)
+        total = total + k_n[idx, idx, 1, 1].sum() * HS * HS
+        x = x + ce_post
+        return -(_t_prior_logprob(x) + total).mean(), u2
+
+    warmup_steps = steps_per_epoch
+    losses_t = []
+    step = 0
+    for epoch in range(10):
+        for b in range(steps_per_epoch):
+            loss, _ = t_loss(data[b * batch:(b + 1) * batch], ce_u)
+            losses_t.append(float(loss.detach()))
+            for v in learnable:
+                v.grad = None
+            loss.backward()
+            lr_t = LR * min((step + 1.0) / warmup_steps, 1.0)
+            with torch.no_grad():
+                for v in learnable:
+                    v -= lr_t * v.grad
+            # carry refresh AGAINST THE NEW KERNEL, after the update
+            # (apply_grads: update -> clamp -> update_carry)
+            _, ce_u, _ = _t_spectral(ce_k.detach(), ce_u, C, HS, HS)
+            step += 1
+
+    losses_jax = np.asarray(losses_jax)
+    losses_t = np.asarray(losses_t)
+    rel = np.abs(losses_jax - losses_t) / np.abs(losses_t)
+    assert rel.max() < 2e-3, (
+        f"trajectories diverge at step {int(rel.argmax())}: "
+        f"{losses_jax[rel.argmax()]:.4f} vs {losses_t[rel.argmax()]:.4f}")
+    assert losses_t[-1] < losses_t[0]
+
+
+# ---------------------------------------------------------------------------
 # (b) selfnorm: modified grad + recon + GECO EMA + weight clamp + warmup
 # ---------------------------------------------------------------------------
 
