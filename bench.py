@@ -312,7 +312,13 @@ def main():
                     f.write(json.dumps(row) + "\n")
         return
 
-    # default: the flagship single-line contract for the driver
+    # default: the flagship single-line contract for the driver.
+    # Co-run the known-FLOPs matmul chain (VERDICT r3 #6): the same
+    # program's slope drifts ±35% across sessions, so the headline is
+    # also quoted normalized to the round-3 reference session rate
+    # (190.71 TFLOP/s, the session that produced the adopted-defaults
+    # numbers in results/true_step_time.jsonl).
+    calib = validate_barrier()
     row = bench_config("glow_mnist", CONFIGS["glow_mnist"])
     baseline_ms = None
     try:
@@ -330,6 +336,9 @@ def main():
         "extra": {k: v for k, v in row.items()
                   if k not in ("config", "train_step_ms")},
     }
+    result["extra"]["calib_tflops"] = calib["tflops"]
+    result["extra"]["value_norm_ms"] = round(
+        row["train_step_ms"] * calib["tflops"] / 190.71, 3)
     result["extra"]["note"] = (
         "slope-method device time; rounds 1-2 reported 0.65 ms for this "
         "metric through a barrier that measured tunnel enqueue rate, not "

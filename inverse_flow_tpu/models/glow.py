@@ -76,6 +76,12 @@ def _step_layer(kind: str, c: int, size, **kw):
         return InvFlowUnit(c, kw.get("kernel", (3, 3)), solver="exact")
     if kind == "inv_conv_no_pad":
         return InvFlowNoPad(c, kw.get("kernel", (2, 2)))
+    if kind == "inv_conv_jacobi":
+        # height-independent Neumann solver (paper Fig. 4 "parallel
+        # inversion" arm, ``if_timescaling.py:99-151``): iterations are
+        # masked convs, depth does not grow with H
+        return InvFlowNoPad(c, kw.get("kernel", (2, 2)), solver="jacobi",
+                            jacobi_iters=kw.get("jacobi_iters", 12))
     if kind == "conv1x1":
         return Conv1x1(c)
     if kind == "emerging":

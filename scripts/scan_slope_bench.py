@@ -514,6 +514,24 @@ CASES = {
                          num_blocks=1, block_size=2, activation="None",
                          kernel=(2, 2))), (1, h, 1), 128)
        for h in (128, 512, 2048)},
+    # Jacobi (height-independent Neumann) arms of the same Fig.-4 sweep
+    # (``if_timescaling.py:99-151`` parallel-inversion convention):
+    # training-direction solve is 12 masked-conv iterations regardless
+    # of H, so the curve should stay flat where exact grows ~ceil(H/R)
+    **{f"timescale_jac_s{s}": _train_case(
+        (lambda s=s: __import__(
+            "inverse_flow_tpu.models.glow", fromlist=["build_cnn_flow"]
+        ).build_cnn_flow((1, s, s), step_kind="inv_conv_jacobi",
+                         num_blocks=1, block_size=2, activation="None",
+                         kernel=(2, 2))), (1, s, s), 128)
+       for s in (16, 32, 64, 128)},
+    **{f"timescale_jac_tall_h{h}": _train_case(
+        (lambda h=h: __import__(
+            "inverse_flow_tpu.models.glow", fromlist=["build_cnn_flow"]
+        ).build_cnn_flow((1, h, 1), step_kind="inv_conv_jacobi",
+                         num_blocks=1, block_size=2, activation="None",
+                         kernel=(2, 2))), (1, h, 1), 128)
+       for h in (128, 512, 2048)},
     # component attribution variants (flagship)
     "glow_mnist_splinenat": _train_case(
         lambda: _glow_mnist_flow(activation="SplineNat"), (1, 28, 28),
