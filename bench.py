@@ -337,8 +337,18 @@ def main():
                   if k not in ("config", "train_step_ms")},
     }
     result["extra"]["calib_tflops"] = calib["tflops"]
-    result["extra"]["value_norm_ms"] = round(
-        row["train_step_ms"] * calib["tflops"] / 190.71, 3)
+    # Plausibility gate (2026-08-18 finding): one session's matmul chain
+    # measured 318.5 TFLOP/s — 161% of the v5e nominal bf16 peak — while
+    # the model program reproduced the prior session's slope to 0.1%
+    # (imagenet32_exact 52.70 vs 52.76 ms). A reading beyond peak means
+    # the co-run is NOT tracking model-rate drift in that session, so
+    # normalization would corrupt the headline rather than stabilize it.
+    if calib["tflops"] <= 1.1 * 197.0:
+        result["extra"]["value_norm_ms"] = round(
+            row["train_step_ms"] * calib["tflops"] / 190.71, 3)
+    else:
+        result["extra"]["value_norm_ms"] = None
+        result["extra"]["calib_implausible"] = True
     result["extra"]["note"] = (
         "slope-method device time; rounds 1-2 reported 0.65 ms for this "
         "metric through a barrier that measured tunnel enqueue rate, not "

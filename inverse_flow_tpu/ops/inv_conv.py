@@ -926,8 +926,10 @@ inv_conv_chain_solve.defvjp(_chain_fwd, _chain_bwd)
 # accumulation order (test_chain_batched_matches_per_layer).
 
 # Whether InvFlowUnit's exact path routes through the batched-build
-# chain. Slope A/B: imagenet32_exact_chainbatch vs _nochainbatch.
-UNIT_CHAIN_BATCHED = False
+# chain. Slope A/B (imagenet32_exact b100, in-process interleaved,
+# results/true_step_time.jsonl 2026-08-18): 52.70 -> 51.42 ms/step,
+# 1.025x, 4/4 pairs — adopted as the default.
+UNIT_CHAIN_BATCHED = True
 
 
 def _chain_build(wstack, h: int, width: int):

@@ -462,6 +462,17 @@ class Experiment:
                 jax.block_until_ready(l0)
                 ms = (time.perf_counter() - t0) * 1e3 / win_w
                 self.logger.summary("Batch Compute Time Mean", ms)
+                # The window is synced with block_until_ready, which on
+                # some tunneled backends returns at enqueue-ack, not
+                # device completion (BASELINE.md "Measurement
+                # methodology") — so this metric's meaning depends on
+                # the backend. Record the sync regime next to the value;
+                # authoritative device time comes from the slope method
+                # (bench.py / scripts/scan_slope_bench.py).
+                self.logger.summary(
+                    "Batch Compute Time sync regime",
+                    "block_until_ready window (enqueue-ack on some "
+                    "tunneled backends; slope method is authoritative)")
                 # sampling latency the same way (also pre-readback):
                 # chained calls of an in-program 8-sample scan; latency
                 # is shape-dependent, so untrained params are fine
