@@ -211,18 +211,29 @@ class InvFlowUnit(FlowLayer):
 
     channels: int
     kernel_size: Tuple[int, int] = (3, 3)
+    # 'jacobi': every order solved by height-independent Neumann
+    # iterations (masked convs — fully MXU-parallel, implicit-function
+    # VJP, O(1) memory). Approximate to ``jacobi_iters`` Neumann terms,
+    # so it is an explicit opt-in for throughput/tall-image runs, never
+    # what 'auto' resolves to.
     solver: str = "auto"
+    jacobi_iters: int = 12
+    jacobi_tol: float = 0.0
 
     def __post_init__(self):
-        assert self.solver in ("auto", "exact", "fused"), self.solver
+        assert self.solver in ("auto", "exact", "fused", "jacobi"), \
+            self.solver
 
     @property
     def convs(self):
-        # fallback composition is always the exact XLA solve: measured
-        # end-to-end, SINGLE-order fused solves lose to XLA (only the
-        # whole-unit fusion wins)
+        # fallback composition is the exact XLA solve (measured
+        # end-to-end, SINGLE-order fused solves lose to XLA — only the
+        # whole-unit fusion wins) unless jacobi was requested explicitly
+        per_layer = "jacobi" if self.solver == "jacobi" else "exact"
         return tuple(InvFlow(self.channels, self.kernel_size, order=o,
-                             solver="exact")
+                             solver=per_layer,
+                             jacobi_iters=self.jacobi_iters,
+                             jacobi_tol=self.jacobi_tol)
                      for o in ORDERS)
 
     def init(self, rng, shape):
@@ -260,6 +271,14 @@ class InvFlowUnit(FlowLayer):
             y = fused_chain_solve(x, w_effs, ORDERS)
             return y, zeros_ldj(y)
         from ..ops import inv_conv as _ic
+        if self.solver == "jacobi":
+            # per-layer Neumann solves; the chain restructures below are
+            # exact-path only
+            ldj = zeros_ldj(x)
+            for conv, p in zip(self.convs, params["convs"]):
+                x, l = conv.forward(p, x)
+                ldj = ldj + l
+            return x, ldj
         if _ic.UNIT_CHAIN_BATCHED and self.kernel_size[0] >= 2:
             # Exact path with ONE vmapped operator build across the 4
             # orders + backward t_inv reuse (2 batched builds per step

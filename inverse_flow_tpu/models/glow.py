@@ -74,6 +74,11 @@ def _step_layer(kind: str, c: int, size, **kw):
         return InvFlowUnit(c, kw.get("kernel", (3, 3)), solver="fused")
     if kind == "inv_flow_unit_exact":
         return InvFlowUnit(c, kw.get("kernel", (3, 3)), solver="exact")
+    if kind == "inv_flow_unit_jacobi":
+        # all four orders by height-independent Neumann iterations —
+        # fully MXU-parallel opt-in (approximate: jacobi_iters terms)
+        return InvFlowUnit(c, kw.get("kernel", (3, 3)), solver="jacobi",
+                           jacobi_iters=kw.get("jacobi_iters", 12))
     if kind == "inv_conv_no_pad":
         return InvFlowNoPad(c, kw.get("kernel", (2, 2)))
     if kind == "inv_conv_jacobi":

@@ -130,17 +130,21 @@ def _eval_case(build_flow, size, batch):
 
         def make_program(K):
             @jax.jit
-            def run_K(p, x0):
-                def body(xc, _):
-                    y, ldj = flow.forward(p, xc)
-                    # renormalize so K chained applications stay finite
-                    y = y / (1.0 + jnp.std(y))
+            def run_K(p, x0, r):
+                def body(xc, rr):
+                    # rng: the flow starts with Dequantization, which
+                    # draws noise — same work sampling/likelihood does
+                    y, ldj = flow.forward(p, xc, rng=rr)
+                    # remap the latent back into pixel range so the next
+                    # iteration's logit-preprocess stays in-domain
+                    y = 256.0 * jax.nn.sigmoid(y / (1.0 + jnp.std(y)))
                     return y, jnp.mean(ldj)
-                y, ldjs = jax.lax.scan(body, x0, None, length=K)
+                y, ldjs = jax.lax.scan(body, x0, jax.random.split(r, K))
                 return jnp.sum(y.astype(jnp.float32)) + ldjs[-1]
 
             def dispatch(seed):
-                return run_K(params, x * (1.0 + seed * 1e-6))
+                return run_K(params, x * (1.0 + seed * 1e-6),
+                             jax.random.PRNGKey(seed + 17))
             return dispatch
 
         return make_program, {"batch": batch}
@@ -223,6 +227,12 @@ CASES = {
         (3, 32, 32), 100),
     "imagenet32_fused": _train_case(
         lambda: _imagenet32_flow(step_kind="inv_flow_unit_fused"),
+        (3, 32, 32), 100),
+    # Jacobi units at production scale: trades the exact solve's
+    # sequential block recurrence + operator builds for 12 masked-conv
+    # Neumann iterations per order — all MXU-parallel, batch-scaling
+    "imagenet32_jacobi": _train_case(
+        lambda: _imagenet32_flow(step_kind="inv_flow_unit_jacobi"),
         (3, 32, 32), 100),
     "imagenet32_exact_bf16": _train_case(
         lambda: _imagenet32_flow(step_kind="inv_flow_unit_exact",

@@ -303,3 +303,25 @@ def test_inv_flow_jacobi_solver():
     # gradients flow through the iterations
     g = jax.grad(lambda p: jnp.sum(layer.forward(p, x)[0] ** 2))(params)
     assert np.isfinite(np.asarray(g["w"]).sum())
+
+
+def test_inv_flow_unit_jacobi_solver():
+    """InvFlowUnit(solver='jacobi'): all four orders by Neumann
+    iterations — must agree with the exact unit to iteration tolerance
+    and round-trip (reference counterpart: the wavefront inverse used by
+    ``inf/layers/inv_flow.py:28-53``; here it is the MXU-parallel arm)."""
+    from inverse_flow_tpu.layers.inv_flow import InvFlowUnit
+    exact = InvFlowUnit(3, (3, 3), solver="exact")
+    jac = InvFlowUnit(3, (3, 3), solver="jacobi", jacobi_iters=24)
+    params, _ = exact.init(jax.random.PRNGKey(40), (3, 8, 8))
+    params = jax.tree_util.tree_map(lambda p: 0.1 * p, params)
+    x = jax.random.normal(jax.random.PRNGKey(41), (2, 3, 8, 8))
+    ye, _ = exact.forward(params, x)
+    yj, ldj = jac.forward(params, x)
+    np.testing.assert_allclose(np.asarray(yj), np.asarray(ye),
+                               atol=1e-4, rtol=1e-4)
+    assert np.allclose(np.asarray(ldj), 0.0)
+    check_inverse(jac, params, x)
+    g = jax.grad(lambda p: jnp.sum(jac.forward(p, x)[0] ** 2))(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
