@@ -154,6 +154,17 @@ def masked_conv_apply(y, w_eff, groups: int = 1):
 # Row-matrix construction
 # ---------------------------------------------------------------------------
 
+# How the banded operators are ASSEMBLED from kernel taps / D-blocks:
+# 'einsum' contracts against a constant one-hot selection tensor (a few
+# MFLOP of MXU/VPU work); 'gather' is the index-gather + where + transpose
+# formulation. The 2026-08-18 profile attributes ~10 of 51 ms/step of the
+# exact ImageNet32 step to the gather formulation's data-formatting ops
+# (XLA "custom fusion" gathers at 2.7 ms + select_n layout copies at
+# 4.6 ms + assembly reshapes) — pure shuffling that the one-hot
+# contraction avoids. Slope A/B: imagenet32_exact_asmein vs _asmgather.
+OPERATOR_ASSEMBLY = "einsum"
+
+
 def _row_matrices(w_eff, width: int):
     """Build the (KH, CW, CW) stack of per-row dependence matrices.
 
@@ -169,10 +180,19 @@ def _row_matrices(w_eff, width: int):
     wi = lax.broadcasted_iota(jnp.int32, (width, width), 0)
     wj = lax.broadcasted_iota(jnp.int32, (width, width), 1)
     diff = wi - wj
+    k_rows = w_eff[:, :, ::-1, :]                             # (C, C, KH, KW)
+    if OPERATOR_ASSEMBLY == "einsum":
+        # one-hot selection: sel[t, wi, wj] = 1 iff wi - wj == KW-1-t.
+        # Exactly one term per output element, so the contraction is a
+        # pure (exact) selection — but it lowers to a small dense
+        # einsum instead of gather + where + transpose layout copies.
+        t_idx = lax.broadcasted_iota(jnp.int32, (kw, width, width), 0)
+        sel = (diff[None] == (kw - 1 - t_idx)).astype(w_eff.dtype)
+        mats = jnp.einsum("cdrt,twv->rwcvd", k_rows, sel,
+                          precision=_sp())
+        return mats.reshape(kh, width * c_out, width * c_in)
     valid = jnp.logical_and(diff >= 0, diff <= kw - 1)
     tap = kw - 1 - jnp.clip(diff, 0, kw - 1)                  # (W, W)
-    # gather taps: kernel rows reversed so r indexes "rows above".
-    k_rows = w_eff[:, :, ::-1, :]                             # (C, C, KH, KW)
     gathered = k_rows[:, :, :, tap]                           # (C, C, KH, W, W)
     gathered = jnp.where(valid[None, None, None], gathered, 0.0)
     # (KH, W, C, W, C) -> (KH, WC, WC)
@@ -302,6 +322,16 @@ def _block_toeplitz_inverse(mats, r_rows: int, width: int = 1,
     ii = lax.broadcasted_iota(jnp.int32, (r_rows, r_rows), 0)
     jj = lax.broadcasted_iota(jnp.int32, (r_rows, r_rows), 1)
     q = ii - jj
+    if OPERATOR_ASSEMBLY == "einsum":
+        # sel[d, i, j] = 1 iff i - j == d: one-hot block placement —
+        # replaces the gather + where + (0,2,1,3) transpose layout copies
+        # (the 4.6 ms/step select_n line of the 2026-08-18 profile)
+        d_idx = lax.broadcasted_iota(jnp.int32, (r_rows, r_rows, r_rows),
+                                     0)
+        sel = (q[None] == d_idx).astype(stack.dtype)
+        t = jnp.einsum("dab,dij->iajb", stack, sel, precision=_sp())
+        t = t.reshape(r_rows * cw, r_rows * cw)
+        return (t, stack) if return_blocks else t
     gathered = stack[jnp.clip(q, 0, r_rows - 1)]
     gathered = jnp.where((q >= 0)[:, :, None, None], gathered, 0.0)
     t = jnp.transpose(gathered, (0, 2, 1, 3))
@@ -317,6 +347,13 @@ def _prev_block(mats, r_rows: int):
     ii = lax.broadcasted_iota(jnp.int32, (r_rows, kh - 1), 0)
     tt = lax.broadcasted_iota(jnp.int32, (r_rows, kh - 1), 1)
     q = ii + (kh - 1) - tt
+    if OPERATOR_ASSEMBLY == "einsum":
+        # sel[r, i, t] = 1 iff i + KH-1 - t == r with 1 <= r <= KH-1
+        r_idx = lax.broadcasted_iota(jnp.int32, (kh, r_rows, kh - 1), 0)
+        sel = jnp.logical_and(q[None] == r_idx, r_idx >= 1)
+        p = jnp.einsum("rab,rit->iatb", mats, sel.astype(mats.dtype),
+                       precision=_sp())
+        return p.reshape(r_rows * cw, (kh - 1) * cw)
     valid = jnp.logical_and(q >= 1, q <= kh - 1)
     gathered = mats[jnp.clip(q, 0, kh - 1)]                   # (R, KH-1, CW, CW)
     gathered = jnp.where(valid[:, :, None, None], gathered, 0.0)

@@ -460,6 +460,27 @@ CASES = {
         UNIT_CHAIN_BATCHED=False, UNIT_CHAIN_VJP=False,
         SOLVE_PRECISION="high", WGRAD_IMPL="conv",
         WGRAD_PRECISION="default", PREPARED_SOLVE=False),
+    # OPERATOR-ASSEMBLY A/B (ops/inv_conv.py OPERATOR_ASSEMBLY): one-hot
+    # selection einsums vs gather+where+transpose — targets the ~10 of
+    # 51 ms/step of data-formatting ops in the 2026-08-18 profile.
+    "imagenet32_exact_asmein": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        OPERATOR_ASSEMBLY="einsum"),
+    "imagenet32_exact_asmgather": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        OPERATOR_ASSEMBLY="gather"),
+    "imagenet32_b1024_remat_exact_asmein": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact", remat=True),
+            (3, 32, 32), 1024),
+        OPERATOR_ASSEMBLY="einsum"),
+    "imagenet32_b1024_remat_exact_asmgather": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact", remat=True),
+            (3, 32, 32), 1024),
+        OPERATOR_ASSEMBLY="gather"),
     "glow_mnist_units_chainbatch": _with_op_flags(
         _train_case(lambda: _glow_mnist_flow(
             step_kind="inv_flow_unit_exact"), (1, 28, 28), 100),

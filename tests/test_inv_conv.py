@@ -439,3 +439,29 @@ def test_prepared_block_parity_and_gate():
                                    atol=1e-5)
     finally:
         ic.PREPARED_SOLVE = old
+
+
+def test_operator_assembly_modes_identical():
+    """'einsum' (one-hot selection contraction) and 'gather' operator
+    assembly must agree bit-exactly: every output element selects exactly
+    one kernel tap / D-block, so the contraction has a single nonzero
+    term and no accumulation at all."""
+    import inverse_flow_tpu.ops.inv_conv as ic
+
+    for (c, kh, kw, w_, r) in [(3, 3, 3, 5, 3), (2, 2, 2, 4, 2),
+                               (4, 3, 2, 6, 4)]:
+        k = jax.random.normal(jax.random.PRNGKey(c * kh + kw), (c, c, kh, kw))
+        w_eff = ic.apply_mask(k)
+        outs = {}
+        old = ic.OPERATOR_ASSEMBLY
+        try:
+            for mode in ("einsum", "gather"):
+                ic.OPERATOR_ASSEMBLY = mode
+                mats = ic._row_matrices(w_eff, w_)
+                t = ic._block_toeplitz_inverse(mats, r)
+                p = ic._prev_block(mats, r)
+                outs[mode] = (np.asarray(mats), np.asarray(t), np.asarray(p))
+        finally:
+            ic.OPERATOR_ASSEMBLY = old
+        for a, b in zip(outs["einsum"], outs["gather"]):
+            np.testing.assert_array_equal(a, b)
