@@ -84,14 +84,18 @@ def main():
                 return y, z, dx
 
             y, z, dx = jax.device_get(run(x, w_eff, g_ct))
-            scale = float(np.max(np.abs(y64)))
+            # NOTE: do not shadow the loop variable `scale` here — a
+            # previous revision did, which fed max|y64| back in as the
+            # next shape's weight scale (1e51 blow-up, NaN rows).
+            y_ref_norm = float(np.max(np.abs(y64)))
             err_y = float(np.max(np.abs(
-                np.asarray(y, np.float64).reshape(8, -1) - y64))) / scale
+                np.asarray(y, np.float64).reshape(8, -1) - y64))) / y_ref_norm
             err_rt = float(np.max(np.abs(z - jax.device_get(x))))
             err_dx = float(np.max(np.abs(
                 np.asarray(dx, np.float64).reshape(8, -1) - dx64))) / max(
                     1.0, float(np.max(np.abs(dx64))))
             row = {"shape": [c, h, w, kh, kw], "w_scale": scale,
+                   "y_ref_norm": y_ref_norm,
                    "precision": prec,
                    "rel_err_y_vs_f64": err_y,
                    "abs_roundtrip_err": err_rt,
