@@ -131,16 +131,20 @@ def _eval_case(build_flow, size, batch):
         def make_program(K):
             @jax.jit
             def run_K(p, x0, r):
-                def body(xc, rr):
-                    # rng: the flow starts with Dequantization, which
-                    # draws noise — same work sampling/likelihood does
-                    y, ldj = flow.forward(p, xc, rng=rr)
-                    # remap the latent back into pixel range so the next
-                    # iteration's logit-preprocess stays in-domain
-                    y = 256.0 * jax.nn.sigmoid(y / (1.0 + jnp.std(y)))
-                    return y, jnp.mean(ldj)
-                y, ldjs = jax.lax.scan(body, x0, jax.random.split(r, K))
-                return jnp.sum(y.astype(jnp.float32)) + ldjs[-1]
+                # The flow's output latent does NOT have the input's
+                # shape (squeeze/split-prior), so it cannot be the scan
+                # carry. Carry a scalar accumulator instead and fold it
+                # into the next input at 1e-20 scale: value-irrelevant,
+                # but it serializes the iterations (no cross-iteration
+                # dead code) exactly like the train-step cases.
+                def body(acc, rr):
+                    xin = x0 * (1.0 + acc * 1e-20)
+                    y, ldj = flow.forward(p, xin, rng=rr)
+                    return (acc + jnp.mean(y.astype(jnp.float32))
+                            + jnp.mean(ldj)), None
+                acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+                                      jax.random.split(r, K))
+                return acc
 
             def dispatch(seed):
                 return run_K(params, x * (1.0 + seed * 1e-6),
