@@ -164,6 +164,53 @@ def masked_conv_apply(y, w_eff, groups: int = 1):
 # contraction avoids. Slope A/B: imagenet32_exact_asmein vs _asmgather.
 OPERATOR_ASSEMBLY = "einsum"
 
+# Row-matrix builder variant: the 'einsum' assembly above still emits a
+# 6-D (KH, W, C, W, C) intermediate whose final `.reshape(kh, CW, CW)`
+# is a physical retiling copy on TPU (the (…, C) trailing dim tiles
+# (8,128) at C=12 -> ~10x padding; the 2026-08-18 profile prices the
+# pair of reshapes at 1.15 ms/step and the producing einsums at ~4 ms).
+# 'flat' builds the (KH, CW, CW) stack DIRECTLY with one-hot operators
+# on pre-flattened indices — every intermediate keeps (…, WC) trailing
+# dims, so there is no rank-changing reshape on the hot path. Values are
+# bit-identical (each contraction selects exactly one element).
+# Slope A/B: imagenet32_exact_rowflat vs _rowein.
+ROW_MATS_FLAT = False
+
+
+def _row_matrices_flat(w_eff, width: int):
+    """(KH, CW, CW) row-dependence stack, built pre-flattened.
+
+    Same contract as :func:`_row_matrices` (entry[r, (wi,c), (wj,c')] =
+    w_eff[c, c', KH-1-r, KW-1-(wi-wj)] for 0 <= wi-wj <= KW-1), but the
+    (w, c) flattening happens inside the one-hot operators instead of a
+    trailing 6-D reshape:
+
+      bmat[r, t, i, j] = k_rows[c(i), c(j), r, t]   (Pc contractions)
+      mats[r, i, j]    = sum_t bmat[r, t, i, j] * Sw[t, i, j]
+
+    with Sw one-hot in t = KW-1-(w(i)-w(j)). Exactly one term survives
+    per output element, so the result is an exact selection.
+    """
+    c_out, c_in, kh, kw = w_eff.shape
+    k_rows = w_eff[:, :, ::-1, :]                             # (C, C, KH, KW)
+    wc_o, wc_i = width * c_out, width * c_in
+
+    co = lax.broadcasted_iota(jnp.int32, (c_out, wc_o), 0)
+    io = lax.broadcasted_iota(jnp.int32, (c_out, wc_o), 1)
+    pc_o = (io % c_out == co).astype(w_eff.dtype)             # (C, WC)
+    ci = lax.broadcasted_iota(jnp.int32, (c_in, wc_i), 0)
+    ii = lax.broadcasted_iota(jnp.int32, (c_in, wc_i), 1)
+    pc_i = (ii % c_in == ci).astype(w_eff.dtype)              # (C', WC')
+
+    wi = lax.broadcasted_iota(jnp.int32, (kw, wc_o, wc_i), 1) // c_out
+    wj = lax.broadcasted_iota(jnp.int32, (kw, wc_o, wc_i), 2) // c_in
+    tt = lax.broadcasted_iota(jnp.int32, (kw, wc_o, wc_i), 0)
+    sw = (wi - wj == (kw - 1) - tt).astype(w_eff.dtype)       # (KW, WC, WC')
+
+    a = jnp.einsum("cdrt,ci->drti", k_rows, pc_o, precision=_sp())
+    bmat = jnp.einsum("drti,dj->rtij", a, pc_i, precision=_sp())
+    return jnp.einsum("rtij,tij->rij", bmat, sw, precision=_sp())
+
 
 def _row_matrices(w_eff, width: int):
     """Build the (KH, CW, CW) stack of per-row dependence matrices.
@@ -176,6 +223,8 @@ def _row_matrices(w_eff, width: int):
     entry[r, (wi, c), (wj, c')] = w_eff[c, c', KH-1-r, KW-1-(wi-wj)]
                                   for 0 <= wi-wj <= KW-1.
     """
+    if ROW_MATS_FLAT:
+        return _row_matrices_flat(w_eff, width)
     c_out, c_in, kh, kw = w_eff.shape
     wi = lax.broadcasted_iota(jnp.int32, (width, width), 0)
     wj = lax.broadcasted_iota(jnp.int32, (width, width), 1)
@@ -293,6 +342,24 @@ def _tri_inverse(m0, width: int = 1):
     return x / d[None, :]                        # (I+L')^{-1} D^{-1}
 
 
+def _toeplitz_d_blocks(mats, r_rows: int, width: int = 1):
+    """The (R, CW, CW) stack of T_blk^{-1}'s Toeplitz inverse blocks
+    D[d] (block (i, j) of the inverse is D[i-j], zero above the
+    diagonal): D[0] = M0^{-1}, D[d] = -M0^{-1} sum_r mats[r] D[d-r]."""
+    kh = mats.shape[0]
+    m0_inv = _tri_inverse(mats[0], width=width)               # (CW, CW)
+    d_blocks = [m0_inv]
+    for d in range(1, r_rows):
+        acc = None
+        for r in range(1, min(kh - 1, d) + 1):
+            term = jnp.matmul(mats[r], d_blocks[d - r], precision=_sp())
+            acc = term if acc is None else acc + term
+        d_blocks.append(
+            -jnp.matmul(m0_inv, acc, precision=_sp()) if acc is not None
+            else jnp.zeros_like(m0_inv))
+    return jnp.stack(d_blocks)
+
+
 def _block_toeplitz_inverse(mats, r_rows: int, width: int = 1,
                             return_blocks: bool = False):
     """T_blk^{-1} without any large LU: T_blk is block-Toeplitz banded, so
@@ -307,17 +374,7 @@ def _block_toeplitz_inverse(mats, r_rows: int, width: int = 1,
     stack itself when ``return_blocks``; ``width`` activates the
     reduced-iteration M0 factorization, see :func:`_tri_inverse`)."""
     kh, cw = mats.shape[0], mats.shape[1]
-    m0_inv = _tri_inverse(mats[0], width=width)               # (CW, CW)
-    d_blocks = [m0_inv]
-    for d in range(1, r_rows):
-        acc = None
-        for r in range(1, min(kh - 1, d) + 1):
-            term = jnp.matmul(mats[r], d_blocks[d - r], precision=_sp())
-            acc = term if acc is None else acc + term
-        d_blocks.append(
-            -jnp.matmul(m0_inv, acc, precision=_sp()) if acc is not None
-            else jnp.zeros_like(m0_inv))
-    stack = jnp.stack(d_blocks)                               # (R, CW, CW)
+    stack = _toeplitz_d_blocks(mats, r_rows, width)           # (R, CW, CW)
 
     ii = lax.broadcasted_iota(jnp.int32, (r_rows, r_rows), 0)
     jj = lax.broadcasted_iota(jnp.int32, (r_rows, r_rows), 1)
@@ -969,6 +1026,189 @@ inv_conv_chain_solve.defvjp(_chain_fwd, _chain_bwd)
 UNIT_CHAIN_BATCHED = True
 
 
+# How the batched chain's prebuilt operators are REPRESENTED: 'dense'
+# assembles t_inv (RCW, RCW), p and g = t_inv @ p as dense matrices —
+# each assembly is a one-hot einsum + a rank-changing reshape that the
+# TPU backend lowers to retiling copies (the 2026-08-18 profile prices
+# the _prev_block assemblies alone at ~2 ms/step). 'blocks' keeps
+# everything in Toeplitz D-block form — (R, CW, CW) stacks applied by
+# statically-unrolled block matmuls, zero assembly ops — the same
+# representation SOLVE_APPLY='blocks' uses inside _solve_ungrouped (its
+# 4/4 slope win predates the chain-batched default, which had silently
+# reverted the apply to dense). 'auto' gates blocks on the MXU-width
+# condition cw >= 256 exactly like SOLVE_APPLY; 'blocks' forces it at
+# any shape (tests). Slope A/B: imagenet32_exact_builtblk vs _builtdense.
+BUILT_APPLY = "dense"
+
+
+def _use_built_blocks(cw: int, r: int) -> bool:
+    if BUILT_APPLY == "dense" or r <= 1:
+        return False
+    if BUILT_APPLY == "blocks":
+        return True
+    return cw >= 256                                          # 'auto'
+
+
+def _toeplitz_g_blocks(d_stack, mats, r_rows: int):
+    """The coupling G = T_blk^{-1} P in block form.
+
+    gb[i, t] = sum_j D[i-j] P[j, t] with P[j, t] = mats[j + KH-1 - t]
+    when 1 <= j+KH-1-t <= KH-1 (the :func:`_prev_block` structure) —
+    at R=2, KH=3 that is 5 (CW, CW) MXU matmuls where the dense route
+    pays a full (RCW, RCW) x (RCW, KCW) product plus two assemblies.
+    Returns (R, KH-1, CW, CW)."""
+    kh = mats.shape[0]
+    rows = []
+    for i in range(r_rows):
+        row = []
+        for t in range(kh - 1):
+            acc = None
+            for j in range(i + 1):                            # D[i-j], j <= i
+                q = j + (kh - 1) - t
+                if 1 <= q <= kh - 1:
+                    term = jnp.matmul(d_stack[i - j], mats[q],
+                                      precision=_sp())
+                    acc = term if acc is None else acc + term
+            row.append(acc if acc is not None
+                       else jnp.zeros_like(d_stack[0]))
+        rows.append(jnp.stack(row))
+    return jnp.stack(rows)
+
+
+def _apply_blocks(x, d_stack, gb, kh: int):
+    """Blocks-form :func:`_apply_built`: solve ``T y = x`` from the
+    (R, CW, CW) D-block stack and (R, KH-1, CW, CW) coupling blocks
+    (``gb`` may be None when the image fits one block)."""
+    b, c, h, width = x.shape
+    cw = c * width
+    r = d_stack.shape[0]
+    nb = -(-h // r)
+
+    x_rows = jnp.transpose(x, (0, 2, 3, 1)).reshape(b, h, cw)
+    xp = jnp.pad(x_rows, ((0, 0), (0, nb * r - h), (0, 0)))
+    xs = xp.reshape(b, nb, r, cw)
+    c_sub = []
+    for i in range(r):                       # c = x @ T_blk^{-T}
+        acc = None
+        for j in range(i + 1):
+            term = jnp.einsum("bnw,vw->bnv", xs[:, :, j], d_stack[i - j],
+                              precision=_sp())
+            acc = term if acc is None else acc + term
+        c_sub.append(acc)
+    c_all = jnp.stack(c_sub, axis=2)                          # (b, nb, r, cw)
+
+    if nb == 1:
+        y_blocks = c_all
+    else:
+        def step(tail, c_n):                 # tail (b, kh-1, cw)
+            subs = []
+            for i in range(r):
+                acc = c_n[:, i]
+                for t in range(kh - 1):
+                    acc = acc - jnp.einsum("bw,vw->bv", tail[:, t],
+                                           gb[i, t], precision=_sp())
+                subs.append(acc)
+            y_n = jnp.stack(subs, axis=1)                     # (b, r, cw)
+            return y_n[:, r - (kh - 1):], y_n
+
+        tail0 = jnp.zeros((b, kh - 1, cw), c_all.dtype)
+        if nb <= 4:
+            ys, tail = [], tail0
+            for n in range(nb):
+                tail, y_n = step(tail, c_all[:, n])
+                ys.append(y_n)
+            y_blocks = jnp.stack(ys, axis=1)
+        else:
+            _, y = lax.scan(step, tail0, jnp.transpose(c_all, (1, 0, 2, 3)))
+            y_blocks = jnp.transpose(y, (1, 0, 2, 3))
+
+    y_rows = y_blocks.reshape(b, nb * r, cw)[:, :h]
+    y = y_rows.reshape(b, h, width, c)
+    return jnp.transpose(y, (0, 3, 1, 2))
+
+
+def _apply_blocks_t(g_ct, d_stack, mats, kh: int):
+    """Blocks-form :func:`_apply_built_t`: ``z = T^{-T} g_ct`` by the
+    reverse block scan, contracting the D blocks on the other side and
+    reading P's blocks straight out of ``mats`` (static indices — no
+    assembled ``p``)."""
+    b, c, h, width = g_ct.shape
+    cw = c * width
+    r = d_stack.shape[0]
+    nb = -(-h // r)
+
+    g_rows = jnp.transpose(g_ct, (0, 2, 3, 1)).reshape(b, h, cw)
+    gp = jnp.pad(g_rows, ((0, 0), (0, nb * r - h), (0, 0)))
+    gs = gp.reshape(b, nb, r, cw)
+
+    def solve_t(m_sub):                      # z_i = sum_{j>=i} m_j D[j-i]
+        subs = []
+        for i in range(r):
+            acc = None
+            for j in range(i, r):
+                term = jnp.einsum("bw,wv->bv", m_sub[j],
+                                  d_stack[j - i], precision=_sp())
+                acc = term if acc is None else acc + term
+            subs.append(acc)
+        return jnp.stack(subs, axis=1)                        # (b, r, cw)
+
+    if nb == 1:
+        z = solve_t([gs[:, 0, j] for j in range(r)])
+        z_rows = z.reshape(b, nb * r, cw)[:, :h]
+        return jnp.transpose(z_rows.reshape(b, h, width, c), (0, 3, 1, 2))
+
+    def step(v, g_n):                        # v (b, kh-1, cw)
+        m_sub = [g_n[:, j] for j in range(r)]
+        for t in range(kh - 1):
+            j = r - (kh - 1) + t
+            m_sub[j] = m_sub[j] - v[:, t]
+        z_n = solve_t(m_sub)
+        vs = []                              # v'_t = sum_j z_j P[j, t]
+        for t in range(kh - 1):
+            acc = None
+            for j in range(r):
+                q = j + (kh - 1) - t
+                if 1 <= q <= kh - 1:
+                    term = jnp.einsum("bw,wv->bv", z_n[:, j], mats[q],
+                                      precision=_sp())
+                    acc = term if acc is None else acc + term
+            vs.append(acc if acc is not None
+                      else jnp.zeros((b, cw), z_n.dtype))
+        return jnp.stack(vs, axis=1), z_n
+
+    v0 = jnp.zeros((b, kh - 1, cw), gs.dtype)
+    if nb <= 4:
+        zs, v = [None] * nb, v0
+        for n in range(nb - 1, -1, -1):
+            v, z_n = step(v, gs[:, n])
+            zs[n] = z_n
+        z = jnp.stack(zs, axis=1)
+    else:
+        _, z = lax.scan(step, v0, jnp.transpose(gs, (1, 0, 2, 3)),
+                        reverse=True)
+        z = jnp.transpose(z, (1, 0, 2, 3))
+    z_rows = z.reshape(b, nb * r, cw)[:, :h]
+    return jnp.transpose(z_rows.reshape(b, h, width, c), (0, 3, 1, 2))
+
+
+def _chain_build_blocks(wstack, h: int, width: int):
+    """Blocks-form :func:`_chain_build`: one vmapped build returning
+    (d_stack (n, R, CW, CW), mats (n, KH, CW, CW),
+    gb (n, R, KH-1, CW, CW) | None)."""
+    c, kh = wstack.shape[1], wstack.shape[3]
+    cw = c * width
+    r = _choose_block_rows(h, cw, kh)
+    nb = -(-h // r)
+
+    def one(w):
+        mats = _row_matrices(w, width)
+        d_stack = _toeplitz_d_blocks(mats, r, width=width)
+        gb = _toeplitz_g_blocks(d_stack, mats, r) if nb > 1 else None
+        return d_stack, mats, gb
+
+    return jax.vmap(one)(wstack)
+
+
 def _chain_build(wstack, h: int, width: int):
     """Vmapped operator build for ``n`` same-shape canonical kernels.
 
@@ -1001,6 +1241,20 @@ def inv_conv_chain_solve_batched(x, ws, orders):
 
 def _chainb_forward(x, ws, orders):
     kh = ws[0].shape[2]
+    cw = x.shape[1] * x.shape[3]
+    r = _choose_block_rows(x.shape[2], cw, kh)
+    if _use_built_blocks(cw, r):
+        d_stack, _, gb = _chain_build_blocks(jnp.stack(ws), x.shape[2],
+                                             x.shape[3])
+        ys = []
+        y = x
+        for i, o in enumerate(orders):
+            ax = _CHAIN_FLIPS[o]
+            yf = _apply_blocks(jnp.flip(y, ax) if ax else y, d_stack[i],
+                               None if gb is None else gb[i], kh)
+            ys.append(yf)
+            y = jnp.flip(yf, ax) if ax else yf
+        return y, tuple(ys)
     t_inv, g, _ = _chain_build(jnp.stack(ws), x.shape[2], x.shape[3])
     ys = []
     y = x
@@ -1021,16 +1275,27 @@ def _chainb_fwd(x, ws, orders):
 def _chainb_bwd(orders, res, g_ct):
     ys, ws = res
     kh, kw = ws[0].shape[2], ws[0].shape[3]
+    cw = ys[0].shape[1] * ys[0].shape[3]
+    r = _choose_block_rows(ys[0].shape[2], cw, kh)
     # rebuild (batched) rather than stream forward-saved operators
-    t_inv, _, p = _chain_build(jnp.stack(ws), ys[0].shape[2],
-                               ys[0].shape[3])
+    if _use_built_blocks(cw, r):
+        d_stack, mats, _ = _chain_build_blocks(jnp.stack(ws),
+                                               ys[0].shape[2],
+                                               ys[0].shape[3])
+        def apply_t(g_o, i):
+            return _apply_blocks_t(g_o, d_stack[i], mats[i], kh)
+    else:
+        t_inv, _, p = _chain_build(jnp.stack(ws), ys[0].shape[2],
+                                   ys[0].shape[3])
+        def apply_t(g_o, i):
+            return _apply_built_t(g_o, t_inv[i],
+                                  None if p is None else p[i], kh)
     dws = [None] * len(ws)
     g = g_ct
     for i in reversed(range(len(ws))):
         ax = _CHAIN_FLIPS[orders[i]]
         g_o = jnp.flip(g, ax) if ax else g
-        dx_o = _apply_built_t(g_o, t_inv[i], None if p is None else p[i],
-                              kh)
+        dx_o = apply_t(g_o, i)
         y_pad = jnp.pad(ys[i], ((0, 0), (0, 0), (kh - 1, 0),
                                 (kw - 1, 0)))
         dws[i] = -_wgrad(dx_o, y_pad, kh, kw)

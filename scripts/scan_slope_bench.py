@@ -467,6 +467,38 @@ CASES = {
     # OPERATOR-ASSEMBLY A/B (ops/inv_conv.py OPERATOR_ASSEMBLY): one-hot
     # selection einsums vs gather+where+transpose — targets the ~10 of
     # 51 ms/step of data-formatting ops in the 2026-08-18 profile.
+    # BLOCK-FORM BUILT OPERATORS (ops/inv_conv.py BUILT_APPLY): keep the
+    # chain's prebuilt operators as Toeplitz D-block stacks (zero dense
+    # assemblies / retiling reshapes) vs the dense t_inv/p/g route.
+    "imagenet32_exact_builtblk": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        BUILT_APPLY="auto"),
+    "imagenet32_exact_builtdense": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        BUILT_APPLY="dense"),
+    "imagenet32_b1024_remat_exact_builtblk": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact", remat=True),
+            (3, 32, 32), 1024),
+        BUILT_APPLY="auto"),
+    "imagenet32_b1024_remat_exact_builtdense": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact", remat=True),
+            (3, 32, 32), 1024),
+        BUILT_APPLY="dense"),
+    # FLAT ROW-MATRIX BUILD (ops/inv_conv.py ROW_MATS_FLAT): build the
+    # (KH, CW, CW) stack pre-flattened (no 6-D intermediate + retiling
+    # reshape) vs the 'einsum' assembly.
+    "imagenet32_exact_rowflat": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        ROW_MATS_FLAT=True),
+    "imagenet32_exact_rowein": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        ROW_MATS_FLAT=False),
     "imagenet32_exact_asmein": _with_op_flags(
         _train_case(lambda: _imagenet32_flow(
             step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
