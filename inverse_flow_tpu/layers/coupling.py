@@ -46,6 +46,14 @@ class Coupling(FlowLayer):
     # ldj sum) stays f32, so invertibility and the likelihood accounting
     # are full precision regardless.
     compute_dtype: str = "float32"
+    # Rematerialize the coupling net in the backward pass instead of
+    # stashing its conv activations through the scan-over-depth carry.
+    # The 2026-08-18 imagenet32_exact profile prices the stash's
+    # dynamic-update-slice writes at ~5 ms/step (repeated.py:109 DUS
+    # fusions) vs ~1.5 ms of extra forward-conv recompute — the same
+    # recompute-beats-streaming economics every PREPARED_SOLVE A/B
+    # showed. Slope A/B: imagenet32_exact_cplremat vs _cplstash.
+    remat_net: bool = False
 
     @property
     def half_channels(self):
@@ -93,7 +101,10 @@ class Coupling(FlowLayer):
     def _get_xs_logs_t(self, params, x):
         x1 = x[:, : self.half_channels]
         x2 = x[:, self.half_channels:]
-        h = self._net(params, x1)
+        if self.remat_net:
+            h = jax.checkpoint(lambda p, a: self._net(p, a))(params, x1)
+        else:
+            h = self._net(params, x1)
         h_s, t = h[:, ::2], h[:, 1::2]
         logs_range = 2.0
         log_s = logs_range * jnp.tanh(h_s / logs_range)

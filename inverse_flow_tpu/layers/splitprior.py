@@ -24,11 +24,13 @@ class SplitPrior(FlowLayer):
     input_size: Tuple[int, int, int]
     width: int = 512
     compute_dtype: str = "float32"      # coupling-net precision policy
+    remat_net: bool = False             # see Coupling.remat_net
 
     @property
     def transform(self):
         return Coupling(self.input_size, width=self.width,
-                        compute_dtype=self.compute_dtype)
+                        compute_dtype=self.compute_dtype,
+                        remat_net=self.remat_net)
 
     @property
     def base(self):

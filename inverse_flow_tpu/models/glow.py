@@ -101,7 +101,7 @@ def build_glow(data_size=(1, 28, 28), step_kind="inv_conv_no_pad",
                actnorm=True, split_prior=True, activation="Spline",
                n_bins=5, tail_bound=20.0, if_kernel_size=3, alpha=1e-7,
                scan_blocks=True, remat=False, scan_unroll=1,
-               coupling_dtype="float32"):
+               coupling_dtype="float32", coupling_remat=False):
     """Glow stack (``if_glow_mnist.py:33-132``).
 
     ``scan_blocks=True`` folds the K identical steps of each block into a
@@ -127,7 +127,8 @@ def build_glow(data_size=(1, 28, 28), step_kind="inv_conv_no_pad",
             if act is not None:
                 step.append(act(size))
             step.append(Coupling(size, width=coupling_width,
-                                 compute_dtype=coupling_dtype))
+                                 compute_dtype=coupling_dtype,
+                                 remat_net=coupling_remat))
             return step
 
         if scan_blocks:
@@ -139,7 +140,8 @@ def build_glow(data_size=(1, 28, 28), step_kind="inv_conv_no_pad",
                 layers.extend(make_step())
         if split_prior and l < num_blocks - 1:
             layers.append(SplitPrior(size, width=coupling_width,
-                                     compute_dtype=coupling_dtype))
+                                     compute_dtype=coupling_dtype,
+                                     remat_net=coupling_remat))
             size = (size[0] // 2, size[1], size[2])
     return Flow(GaussianPrior(size), layers)
 

@@ -467,6 +467,15 @@ CASES = {
     # OPERATOR-ASSEMBLY A/B (ops/inv_conv.py OPERATOR_ASSEMBLY): one-hot
     # selection einsums vs gather+where+transpose — targets the ~10 of
     # 51 ms/step of data-formatting ops in the 2026-08-18 profile.
+    # COUPLING-NET REMAT (layers/coupling.py remat_net): recompute the
+    # net's convs in backward instead of stashing activations through
+    # the scan carry (the ~5 ms/step repeated.py:109 DUS line).
+    "imagenet32_exact_cplremat": _train_case(
+        lambda: _imagenet32_flow(step_kind="inv_flow_unit_exact",
+                                 coupling_remat=True), (3, 32, 32), 100),
+    "imagenet32_exact_cplstash": _train_case(
+        lambda: _imagenet32_flow(step_kind="inv_flow_unit_exact",
+                                 coupling_remat=False), (3, 32, 32), 100),
     # BLOCK-FORM BUILT OPERATORS (ops/inv_conv.py BUILT_APPLY): keep the
     # chain's prebuilt operators as Toeplitz D-block stacks (zero dense
     # assemblies / retiling reshapes) vs the dense t_inv/p/g route.

@@ -129,6 +129,26 @@ def test_coupling():
     check_logdet(layer, params, x, atol=1e-3, rtol=1e-3)
 
 
+def test_coupling_remat_net_identical():
+    """remat_net only changes WHEN the net's activations are computed
+    (backward recompute vs forward stash) — values and gradients must be
+    bit-identical on CPU."""
+    layer, params, x, _ = _make(Coupling(IMG_SHAPE, width=32))
+    params["w3"] = 0.05 * jax.random.normal(
+        jax.random.PRNGKey(7), params["w3"].shape)
+    rl = Coupling(IMG_SHAPE, width=32, remat_net=True)
+
+    def loss(lyr, p):
+        z, ldj = lyr.forward(p, x)
+        return jnp.sum(jnp.sin(z)) + jnp.sum(ldj)
+
+    v1, g1 = jax.value_and_grad(lambda p: loss(layer, p))(params)
+    v2, g2 = jax.value_and_grad(lambda p: loss(rl, p))(params)
+    assert float(v1) == float(v2)
+    for k in g1:
+        np.testing.assert_array_equal(np.asarray(g1[k]), np.asarray(g2[k]))
+
+
 def test_squeeze_roundtrip_and_order():
     layer, params, x, _ = _make(Squeeze())
     check_inverse(layer, params, x)
