@@ -508,6 +508,12 @@ CASES = {
         _train_case(lambda: _imagenet32_flow(
             step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
         ROW_MATS_FLAT=False),
+    "glow_mnist_rowflat": _with_op_flags(
+        _train_case(_glow_mnist_flow, (1, 28, 28), 100),
+        ROW_MATS_FLAT=True),
+    "glow_mnist_rowein": _with_op_flags(
+        _train_case(_glow_mnist_flow, (1, 28, 28), 100),
+        ROW_MATS_FLAT=False),
     "imagenet32_exact_asmein": _with_op_flags(
         _train_case(lambda: _imagenet32_flow(
             step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
