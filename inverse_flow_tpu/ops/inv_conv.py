@@ -173,8 +173,10 @@ OPERATOR_ASSEMBLY = "einsum"
 # on pre-flattened indices — every intermediate keeps (…, WC) trailing
 # dims, so there is no rank-changing reshape on the hot path. Values are
 # bit-identical (each contraction selects exactly one element).
-# Slope A/B: imagenet32_exact_rowflat vs _rowein.
-ROW_MATS_FLAT = False
+# Slope A/B verdict (results/true_step_time.jsonl, imagenet32_exact
+# b100, in-process interleaved, 2026-08-18): flat WINS 1.089x end-to-end
+# (48.4 -> 44.4 ms/step, 4/4 pairs) — adopted as the default.
+ROW_MATS_FLAT = True
 
 
 def _row_matrices_flat(w_eff, width: int):
