@@ -476,6 +476,10 @@ CASES = {
     "imagenet32_exact_cplstash": _train_case(
         lambda: _imagenet32_flow(step_kind="inv_flow_unit_exact",
                                  coupling_remat=False), (3, 32, 32), 100),
+    "glow_mnist_cplremat": _train_case(
+        lambda: _glow_mnist_flow(coupling_remat=True), (1, 28, 28), 100),
+    "glow_mnist_cplstash": _train_case(
+        lambda: _glow_mnist_flow(coupling_remat=False), (1, 28, 28), 100),
     # BLOCK-FORM BUILT OPERATORS (ops/inv_conv.py BUILT_APPLY): keep the
     # chain's prebuilt operators as Toeplitz D-block stacks (zero dense
     # assemblies / retiling reshapes) vs the dense t_inv/p/g route.
