@@ -445,9 +445,12 @@ def select_fused(solver, x_shape, kernel_size, orders, groups=1):
     A/B the exact composition beats the fused kernel end-to-end in
     training at every measured shape class: imagenet32 unit b100
     80.1 vs 97.3 ms/step (1.21x), b1024+remat 410.5 vs 514.1 (1.25x),
-    glow-mnist unit b100 14.3 vs 19.3 (1.35x). Explicit
-    ``solver='fused'`` remains available (and value-verified compiled
-    on TPU) for the forward/sampling direction and future shapes."""
+    glow-mnist unit b100 14.3 vs 19.3 (1.35x). The forward/sampling
+    direction was re-adjudicated 2026-08-18 (eval-direction slope
+    cases): exact wins there too, ~2.1x at both shape classes, so the
+    kernel has NO measured niche. Explicit ``solver='fused'`` remains
+    available (and value-verified compiled on TPU) as measured
+    infrastructure for future shapes/backends."""
     if solver in ("exact", "jacobi", "auto"):
         return False
     if not fused_viable(x_shape, kernel_size, orders, groups=groups):
