@@ -649,7 +649,14 @@ CALIB_PEAK_TFLOPS = 197.0
 
 
 def _calib_ok(calib):
-    return calib is not None and calib <= 1.1 * CALIB_PEAK_TFLOPS
+    # Two-sided: one session's co-run slope came out NEGATIVE (-1601
+    # TFLOP/s — the small-K arm ran slower than the large-K arm under
+    # host contention) and the original <=1.1*peak check let it through,
+    # which would have produced negative "normalized" ms. Anything
+    # outside [0.5x ref, 1.1x peak] means the co-run is not tracking
+    # device rate and cannot normalize that session.
+    return (calib is not None
+            and 0.5 * CALIB_REF_TFLOPS <= calib <= 1.1 * CALIB_PEAK_TFLOPS)
 
 
 def measure_calib(k1=8, k2=40, trials=3):
