@@ -52,7 +52,12 @@ class Coupling(FlowLayer):
     # dynamic-update-slice writes at ~5 ms/step (repeated.py:109 DUS
     # fusions) vs ~1.5 ms of extra forward-conv recompute — the same
     # recompute-beats-streaming economics every PREPARED_SOLVE A/B
-    # showed. Slope A/B: imagenet32_exact_cplremat vs _cplstash.
+    # showed. Slope A/B verdicts (results/true_step_time.jsonl,
+    # in-process interleaved, 2026-08-18/19): WINS 1.032x at
+    # imagenet32_exact b100 (4/4) and 1.074x at the flagship (3/4) —
+    # build_glow defaults it ON (values/gradients are bit-identical,
+    # test_coupling_remat_net_identical). Layer default stays False so
+    # a bare Coupling() matches the reference's memory behavior.
     remat_net: bool = False
 
     @property

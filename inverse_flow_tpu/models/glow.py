@@ -101,7 +101,7 @@ def build_glow(data_size=(1, 28, 28), step_kind="inv_conv_no_pad",
                actnorm=True, split_prior=True, activation="Spline",
                n_bins=5, tail_bound=20.0, if_kernel_size=3, alpha=1e-7,
                scan_blocks=True, remat=False, scan_unroll=1,
-               coupling_dtype="float32", coupling_remat=False):
+               coupling_dtype="float32", coupling_remat=True):
     """Glow stack (``if_glow_mnist.py:33-132``).
 
     ``scan_blocks=True`` folds the K identical steps of each block into a
