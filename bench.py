@@ -76,9 +76,12 @@ CONFIGS = {
         coupling_dtype="bfloat16"),
     # production scale: reference batch and throughput-optimal batch
     "imagenet32": lambda: _glow_imagenet32(),
-    # remat required at b1024: without it activations exceed HBM
-    # (18.43 G > 15.75 G, BASELINE.md "Memory")
-    "imagenet32_b1024": lambda: _glow_imagenet32(batch=1024, remat=True),
+    # b1024 no longer needs whole-body remat: coupling_remat (the
+    # round-4 default) removed the dominant activation stash, and the
+    # slope A/B has no-remat 1.081x faster (215.2 vs 232.6 ms/step,
+    # 4/4 pairs, results/true_step_time.jsonl). Before coupling_remat,
+    # activations exceeded HBM (18.43 G > 15.75 G).
+    "imagenet32_b1024": lambda: _glow_imagenet32(batch=1024),
     "imagenet32_exact": lambda: _glow_imagenet32(
         step_kind="inv_flow_unit_exact"),
     "imagenet32_bf16_couplings": lambda: _glow_imagenet32(

@@ -217,6 +217,11 @@ CASES = {
         (3, 32, 32), 1024),
     "imagenet32_b2048_remat": _train_case(
         lambda: _imagenet32_flow(remat=True), (3, 32, 32), 2048),
+    # no-remat arms: fit in HBM once coupling_remat (round-4 default)
+    # removed the coupling-net activation stash; no-remat won the b1024
+    # slope A/B 1.081x (4/4)
+    "imagenet32_b2048": _train_case(
+        lambda: _imagenet32_flow(), (3, 32, 32), 2048),
     "imagenet32_b4096_remat": _train_case(
         lambda: _imagenet32_flow(remat=True), (3, 32, 32), 4096),
     "imagenet32_b256": _train_case(
