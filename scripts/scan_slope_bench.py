@@ -222,6 +222,9 @@ CASES = {
     # slope A/B 1.081x (4/4)
     "imagenet32_b2048": _train_case(
         lambda: _imagenet32_flow(), (3, 32, 32), 2048),
+    "imagenet32_b1024_bf16": _train_case(
+        lambda: _imagenet32_flow(coupling_dtype="bfloat16"),
+        (3, 32, 32), 1024),
     "imagenet32_b4096_remat": _train_case(
         lambda: _imagenet32_flow(remat=True), (3, 32, 32), 4096),
     "imagenet32_b256": _train_case(
