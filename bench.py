@@ -356,6 +356,15 @@ def main():
         "slope-method device time; rounds 1-2 reported 0.65 ms for this "
         "metric through a barrier that measured tunnel enqueue rate, not "
         "device completion — not comparable")
+    result["extra"]["vs_reference_context"] = (
+        "vs_baseline is null because the reference repo publishes no "
+        "numbers (BASELINE.json published: {}). Structural comparison: "
+        "the reference's CUDA wavefront issues >=(H+W-1)*C/4 host-synced "
+        "kernel launches per inverse-conv layer per step "
+        "(inv_conv_with_bp_kernel_general.cu); this step runs the whole "
+        "model — all 32 flow steps — as ONE XLA program with zero host "
+        "syncs. History + per-adoption A/Bs: BASELINE.md, "
+        "results/true_step_time.jsonl")
     print(json.dumps(result))
 
 

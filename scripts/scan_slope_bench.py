@@ -217,9 +217,12 @@ CASES = {
         (3, 32, 32), 1024),
     "imagenet32_b2048_remat": _train_case(
         lambda: _imagenet32_flow(remat=True), (3, 32, 32), 2048),
-    # no-remat arms: fit in HBM once coupling_remat (round-4 default)
-    # removed the coupling-net activation stash; no-remat won the b1024
-    # slope A/B 1.081x (4/4)
+    # no-remat arms: b1024 fits in HBM once coupling_remat (round-4
+    # default) removed the coupling-net activation stash, and no-remat
+    # won its slope A/B 1.081x (4/4). b2048 without whole-body remat is
+    # the case that demonstrated the no-remat OOM boundary above b1024
+    # (20.52 G > 15.75 G HBM — see STATUS.md); its case stays defined so
+    # the boundary is re-checkable.
     "imagenet32_b2048": _train_case(
         lambda: _imagenet32_flow(), (3, 32, 32), 2048),
     "imagenet32_b1024_bf16": _train_case(

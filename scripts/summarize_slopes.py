@@ -15,6 +15,20 @@ from __future__ import annotations
 import argparse
 import json
 
+# Cases re-measured in a DIFFERENT artifact (the append-only source file
+# never sees the newer run, so the last-wins rule above can't catch it).
+# The round-3 tall-axis rows below used a narrow K-spread (k2-k1 = 32)
+# whose slope signal is dominated by dispatch jitter at sub-ms steps;
+# the round-4 re-measurement (k2-k1 = 512, results/timescale_slope.jsonl)
+# is the current number — BASELINE.md's timescaling table quotes it.
+CROSS_FILE_SUPERSEDED = {
+    "timescale_tall_h128": "superseded by results/timescale_slope.jsonl",
+    "timescale_tall_h512": "superseded by results/timescale_slope.jsonl",
+    "timescale_tall_h2048": "superseded by results/timescale_slope.jsonl",
+    "timescale_s16": "superseded by results/timescale_slope.jsonl",
+    "timescale_s32": "superseded by results/timescale_slope.jsonl",
+}
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -39,8 +53,10 @@ def main():
     for i, r in enumerate(rows):
         if "ab" in r:
             continue
-        note = ("superseded"
-                if last_idx[r.get("case")] != i else "")
+        if last_idx[r.get("case")] != i:
+            note = "superseded"
+        else:
+            note = CROSS_FILE_SUPERSEDED.get(r.get("case"), "")
         out.append(
             f"| {r['case']} | {r['ms_per_step_median']} | "
             f"{r.get('images_per_sec', '—')} | {r.get('batch', '—')} | "
