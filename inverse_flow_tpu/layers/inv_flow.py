@@ -66,11 +66,16 @@ class InvFlow(FlowLayer):
     order: str = "TL"
     groups: int = 1
     # 'exact'  = blocked triangular solve (custom-VJP parallel backprop) —
-    #            the DEFAULT, and what 'auto' resolves to: the slope
-    #            method (results/true_step_time.jsonl) shows the exact
+    #            the DEFAULT: the slope method
+    #            (results/true_step_time.jsonl) shows the exact
     #            composition beating the fused Pallas kernel end-to-end
     #            in training at every measured shape class (1.2-1.35x);
-    # 'auto'   = alias for 'exact' (kept for config compat);
+    # 'auto'   = shape-aware: resolves per activation shape via
+    #            ops/solver_policy.resolve_auto — exact everywhere
+    #            except the measured tall-thin window (long axis in
+    #            [64, 512], short*channels <= 2), where the
+    #            height-independent Jacobi solve wins up to 6.7x
+    #            (BASELINE.md "Timescaling" table);
     # 'fused'  = single-order fused Pallas kernel (ops/fused_chain.py),
     #            explicit opt-in;
     # 'jacobi' = height-independent Neumann iterations (implicit-VJP,
@@ -111,6 +116,14 @@ class InvFlow(FlowLayer):
         return select_fused(self.solver, x_shape, self.kernel_size,
                             (self.order,), groups=self.groups)
 
+    def _eff_solver(self, x_shape):
+        """'auto' resolves per shape (ops/solver_policy.py — the single
+        home of the measured exact/Jacobi crossover table)."""
+        if self.solver != "auto":
+            return self.solver
+        from ..ops.solver_policy import resolve_auto
+        return resolve_auto(x_shape, self.kernel_size, self.groups)
+
     def prepare(self, params, shape):
         # Prepared-operator path (ops/inv_conv.py module note): exact
         # solver, ungrouped, kh >= 2. The operator is built from the
@@ -119,6 +132,8 @@ class InvFlow(FlowLayer):
         from ..ops.inv_conv import PREPARED_SOLVE, solve_prepare
         if (not PREPARED_SOLVE or self.solver not in ("auto", "exact")
                 or self.groups != 1):
+            return None
+        if self._eff_solver((1,) + tuple(shape)) != "exact":
             return None
         if self._use_fused((1,) + tuple(shape)):
             return None
@@ -164,7 +179,7 @@ class InvFlow(FlowLayer):
                 return self.forward_prepared(params, aux, x, rng=rng)
         ax = _flip_axes(self.order)
         x = jnp.flip(x, ax) if ax else x
-        if self.solver == "jacobi":
+        if self._eff_solver(x.shape) == "jacobi":
             y = inv_conv_solve_jacobi_implicit(
                 x, self._w_eff(params), self.groups, self.jacobi_iters,
                 self.jacobi_tol)
@@ -198,14 +213,18 @@ class InvFlowUnit(FlowLayer):
     (``ops/fused_chain.py``: flips absorbed into permutation-conjugated
     solve matrices, activations VMEM-resident across orders), falling back
     to the per-layer XLA path when the shape is unsupported. ``'auto'``
-    (default) resolves to ``'exact'`` — the per-layer blocked XLA solve.
-    This is the slope-measured verdict (BASELINE.md "Measurement
-    methodology"): every earlier number favoring the fused kernel was
-    synced with an enqueue-ack barrier; under truthful same-session
-    slope A/Bs the exact composition wins end-to-end training at every
-    measured shape class (imagenet32 unit 1.21-1.25x, glow-mnist unit
-    1.35x, results/true_step_time.jsonl). ``'fused'`` remains an
-    explicit opt-in (value-verified compiled on TPU) for the
+    (default) resolves per activation shape via
+    ``ops/solver_policy.resolve_auto``: the per-layer blocked XLA exact
+    solve everywhere except the measured tall-thin window (long axis in
+    [64, 512], short axis x channels <= 2), where the
+    height-independent Jacobi iteration wins up to 6.7x. Both verdicts
+    are slope-measured (BASELINE.md "Measurement methodology"): every
+    earlier number favoring the fused kernel was synced with an
+    enqueue-ack barrier; under truthful same-session slope A/Bs the
+    exact composition wins end-to-end training at every measured
+    square/production shape class (imagenet32 unit 1.21-1.25x,
+    glow-mnist unit 1.35x, results/true_step_time.jsonl). ``'fused'``
+    remains an explicit opt-in (value-verified compiled on TPU) for the
     forward/sampling direction and future shape classes.
     """
 
@@ -213,9 +232,10 @@ class InvFlowUnit(FlowLayer):
     kernel_size: Tuple[int, int] = (3, 3)
     # 'jacobi': every order solved by height-independent Neumann
     # iterations (masked convs — fully MXU-parallel, implicit-function
-    # VJP, O(1) memory). Approximate to ``jacobi_iters`` Neumann terms,
-    # so it is an explicit opt-in for throughput/tall-image runs, never
-    # what 'auto' resolves to.
+    # VJP, O(1) memory). Approximate to ``jacobi_iters`` Neumann terms
+    # (f32 round-off at production weight scales — parity asserted in
+    # tests/test_solver_policy.py); 'auto' routes to it only inside the
+    # measured tall-thin win window (ops/solver_policy.py).
     solver: str = "auto"
     jacobi_iters: int = 12
     jacobi_tol: float = 0.0
@@ -224,17 +244,27 @@ class InvFlowUnit(FlowLayer):
         assert self.solver in ("auto", "exact", "fused", "jacobi"), \
             self.solver
 
-    @property
-    def convs(self):
-        # fallback composition is the exact XLA solve (measured
-        # end-to-end, SINGLE-order fused solves lose to XLA — only the
-        # whole-unit fusion wins) unless jacobi was requested explicitly
-        per_layer = "jacobi" if self.solver == "jacobi" else "exact"
+    def _convs(self, per_layer):
         return tuple(InvFlow(self.channels, self.kernel_size, order=o,
                              solver=per_layer,
                              jacobi_iters=self.jacobi_iters,
                              jacobi_tol=self.jacobi_tol)
                      for o in ORDERS)
+
+    @property
+    def convs(self):
+        # fallback composition is the exact XLA solve (measured
+        # end-to-end, SINGLE-order fused solves lose to XLA — only the
+        # whole-unit fusion wins) unless jacobi was requested explicitly
+        return self._convs("jacobi" if self.solver == "jacobi"
+                           else "exact")
+
+    def _eff_solver(self, x_shape):
+        """'auto' resolves per shape (ops/solver_policy.py)."""
+        if self.solver != "auto":
+            return self.solver
+        from ..ops.solver_policy import resolve_auto
+        return resolve_auto(x_shape, self.kernel_size)
 
     def init(self, rng, shape):
         params = []
@@ -250,6 +280,8 @@ class InvFlowUnit(FlowLayer):
 
     def prepare(self, params, shape):
         if self.solver == "fused" or self._use_fused((1,) + tuple(shape)):
+            return None
+        if self._eff_solver((1,) + tuple(shape)) == "jacobi":
             return None
         auxes = [conv.prepare(p, shape)
                  for conv, p in zip(self.convs, params["convs"])]
@@ -271,11 +303,12 @@ class InvFlowUnit(FlowLayer):
             y = fused_chain_solve(x, w_effs, ORDERS)
             return y, zeros_ldj(y)
         from ..ops import inv_conv as _ic
-        if self.solver == "jacobi":
-            # per-layer Neumann solves; the chain restructures below are
-            # exact-path only
+        if self._eff_solver(x.shape) == "jacobi":
+            # per-layer Neumann solves (requested explicitly, or routed
+            # by the 'auto' tall-thin policy); the chain restructures
+            # below are exact-path only
             ldj = zeros_ldj(x)
-            for conv, p in zip(self.convs, params["convs"]):
+            for conv, p in zip(self._convs("jacobi"), params["convs"]):
                 x, l = conv.forward(p, x)
                 ldj = ldj + l
             return x, ldj

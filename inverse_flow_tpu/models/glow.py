@@ -81,6 +81,13 @@ def _step_layer(kind: str, c: int, size, **kw):
                            jacobi_iters=kw.get("jacobi_iters", 12))
     if kind == "inv_conv_no_pad":
         return InvFlowNoPad(c, kw.get("kernel", (2, 2)))
+    if kind == "inv_conv_auto":
+        # shape-aware solver routing (ops/solver_policy.py): exact on
+        # squares/production shapes, Jacobi inside the measured
+        # tall-thin win window — the operational form of the paper's
+        # Fig. 4 tall-axis verdicts
+        return InvFlowNoPad(c, kw.get("kernel", (2, 2)), solver="auto",
+                            jacobi_iters=kw.get("jacobi_iters", 12))
     if kind == "inv_conv_jacobi":
         # height-independent Neumann solver (paper Fig. 4 "parallel
         # inversion" arm, ``if_timescaling.py:99-151``): iterations are

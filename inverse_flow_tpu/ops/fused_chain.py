@@ -431,13 +431,13 @@ def _manual_or_single_device() -> bool:
 
 
 def select_fused(solver, x_shape, kernel_size, orders, groups=1):
-    """Shared solver-selection policy for InvFlow / InvFlowUnit:
+    """Shared FUSION-selection policy for InvFlow / InvFlowUnit:
     'exact'/'jacobi' never fuse; 'fused' fuses whenever the shape is
     viable (silently falling back to the exact XLA solve otherwise — the
-    gate is a shape property, not an error); 'auto' resolves to the
-    EXACT blocked XLA solve.
+    gate is a shape property, not an error); 'auto' NEVER fuses — it
+    resolves to exact or jacobi per shape (ops/solver_policy.py).
 
-    The 'auto'->exact policy is measurement-driven (slope method,
+    The 'auto'-never-fuses policy is measurement-driven (slope method,
     results/true_step_time.jsonl, 2026-08-17): every earlier verdict
     that favored the fused Pallas chain kernel was synced with
     ``block_until_ready``, which on this backend acks at enqueue — it

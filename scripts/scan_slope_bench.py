@@ -629,6 +629,24 @@ CASES = {
                          num_blocks=1, block_size=2, activation="None",
                          kernel=(2, 2))), (1, h, 1), 128)
        for h in (128, 512, 2048)},
+    # solver='auto' policy arms (ops/solver_policy.py): end-to-end the
+    # policy must (a) match exact on squares (routes to exact — any
+    # delta is noise) and (b) engage the measured Jacobi win on the
+    # tall axis inside [64, 512]
+    **{f"timescale_auto_s{s}": _train_case(
+        (lambda s=s: __import__(
+            "inverse_flow_tpu.models.glow", fromlist=["build_cnn_flow"]
+        ).build_cnn_flow((1, s, s), step_kind="inv_conv_auto",
+                         num_blocks=1, block_size=2, activation="None",
+                         kernel=(2, 2))), (1, s, s), 128)
+       for s in (32, 128)},
+    **{f"timescale_auto_tall_h{h}": _train_case(
+        (lambda h=h: __import__(
+            "inverse_flow_tpu.models.glow", fromlist=["build_cnn_flow"]
+        ).build_cnn_flow((1, h, 1), step_kind="inv_conv_auto",
+                         num_blocks=1, block_size=2, activation="None",
+                         kernel=(2, 2))), (1, h, 1), 128)
+       for h in (128, 512, 2048)},
     # component attribution variants (flagship)
     "glow_mnist_splinenat": _train_case(
         lambda: _glow_mnist_flow(activation="SplineNat"), (1, 28, 28),
