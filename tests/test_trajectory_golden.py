@@ -441,3 +441,252 @@ def test_trajectory_selfnorm_geco_clamp(tmp_path):
     assert abs(rw_t[-1] - 1.0) > 1e-4
     assert float(t64(jax.device_get(state.params)[0]["w"]).abs().max()) \
         <= CLAMP + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# (d) FLAGSHIP topology (VERDICT r4 #3): the full if_glow_mnist layer mix —
+# ActNorm + inv-conv + one-hot RQ-spline activations + Coupling inside
+# RepeatedBlocks, SplitPrior between blocks — trained for 10 steps with the
+# flagship update rule (Adam + per-batch warmup + ExponentialLR + weight
+# clamp, ``inf/experiments/if_glow_mnist.py:150-196`` +
+# ``inf/train/experiment.py:197-311``) against a from-scratch torch/f64
+# replica. Reduced width/depth per the VERDICT's allowance (width 16, K=3,
+# 8x8 inputs) but the FULL layer mix and the real jitted harness step.
+# ---------------------------------------------------------------------------
+
+def _t_rq_spline(x, uw, uh, ud, tail_bound, n_bins):
+    """torch/f64 replica of unconstrained_rational_quadratic_spline
+    (layers/splines.py:27-158; Durkan et al. algebra) for GLOBAL knots:
+    uw/uh are (n_bins,), ud is (n_bins-1,). Returns (out, elementwise ldj)."""
+    minw = minh = mind = 1e-6
+    constant = math.log(math.expm1(1.0 - mind))
+    d_un = torch.cat([torch.zeros(1, dtype=x.dtype), ud,
+                      torch.zeros(1, dtype=x.dtype)]) + constant
+
+    inside = (x >= -tail_bound) & (x <= tail_bound)
+    xc = torch.clamp(x, -tail_bound, tail_bound)
+
+    widths = torch.softmax(uw, -1)
+    widths = minw + (1 - minw * n_bins) * widths
+    cumw = torch.cat([torch.zeros(1, dtype=x.dtype), torch.cumsum(widths, -1)])
+    cumw = (2 * tail_bound) * cumw - tail_bound
+    cumw = torch.cat([torch.full((1,), -tail_bound, dtype=x.dtype),
+                      cumw[1:-1],
+                      torch.full((1,), tail_bound, dtype=x.dtype)])
+    widths = cumw[1:] - cumw[:-1]
+
+    derivs = mind + F.softplus(d_un)
+
+    heights = torch.softmax(uh, -1)
+    heights = minh + (1 - minh * n_bins) * heights
+    cumh = torch.cat([torch.zeros(1, dtype=x.dtype),
+                      torch.cumsum(heights, -1)])
+    cumh = (2 * tail_bound) * cumh - tail_bound
+    cumh = torch.cat([torch.full((1,), -tail_bound, dtype=x.dtype),
+                      cumh[1:-1],
+                      torch.full((1,), tail_bound, dtype=x.dtype)])
+    heights = cumh[1:] - cumh[:-1]
+
+    # _searchsorted: add eps to the LAST bin location, idx = sum(x>=loc)-1
+    locs = cumw.detach().clone()
+    locs[-1] = locs[-1] + 1e-6
+    idx = torch.clamp((xc[..., None] >= locs).sum(-1) - 1, 0, n_bins - 1)
+
+    in_cw = cumw[:-1][idx]
+    in_w = widths[idx]
+    in_ch = cumh[:-1][idx]
+    delta = heights / widths
+    in_delta = delta[idx]
+    in_d = derivs[:-1][idx]
+    in_dp1 = derivs[1:][idx]
+    in_h = heights[idx]
+
+    theta = (xc - in_cw) / in_w
+    th1m = theta * (1 - theta)
+    d_sum = in_d + in_dp1 - 2 * in_delta
+    numerator = in_h * (in_delta * theta ** 2 + in_d * th1m)
+    denominator = in_delta + d_sum * th1m
+    out_in = in_ch + numerator / denominator
+    deriv_num = in_delta ** 2 * (in_dp1 * theta ** 2 + 2 * in_delta * th1m
+                                 + in_d * (1 - theta) ** 2)
+    ldj_in = torch.log(deriv_num) - 2 * torch.log(denominator)
+
+    out = torch.where(inside, out_in, x)
+    ldj = torch.where(inside, ldj_in, torch.zeros_like(x))
+    return out, ldj
+
+
+def _t_adam_step(params_t, lr_t, adam_m, adam_v, t, clamp,
+                 b1=0.9, b2=0.999, eps=1e-8):
+    """optax.adam + weight clamp replica (experiment.py apply_grads)."""
+    with torch.no_grad():
+        for i, v in enumerate(params_t):
+            g = v.grad
+            adam_m[i] = b1 * adam_m[i] + (1 - b1) * g
+            adam_v[i] = b2 * adam_v[i] + (1 - b2) * g * g
+            m_hat = adam_m[i] / (1 - b1 ** t)
+            v_hat = adam_v[i] / (1 - b2 ** t)
+            v -= lr_t * m_hat / (torch.sqrt(v_hat) + eps)
+            if clamp:
+                v.clamp_(-clamp, clamp)
+
+
+@pytest.mark.slow
+def test_trajectory_flagship_topology(tmp_path):
+    from inverse_flow_tpu.layers import (ActNorm, Normalization,
+                                         LogitTransform, Squeeze,
+                                         InvFlowNoPad, Coupling,
+                                         RepeatedBlock, SplineActivation,
+                                         SplitPrior)
+    from inverse_flow_tpu.ops.inv_conv import apply_mask
+
+    ALPHA_N = 1e-7                       # flagship alpha (registry)
+    N_BINS, TB = 5, 20.0                 # flagship spline knobs
+    K, WIDTH = 3, 16                     # reduced depth/width per VERDICT
+    size = (1, 8, 8)
+    s1, s2 = (4, 4, 4), (8, 2, 2)        # after squeeze / split+squeeze
+
+    def step_layers(sz):
+        return (ActNorm(sz[0]), InvFlowNoPad(sz[0], (3, 3)),
+                SplineActivation(sz, n_bins=N_BINS, tail_bound=TB),
+                Coupling(sz, width=WIDTH))
+
+    flow = Flow(GaussianPrior(s2), [
+        Normalization(0.0, 256.0),
+        Normalization(-ALPHA_N, 1.0 / (1.0 - 2.0 * ALPHA_N)),
+        LogitTransform(),
+        Squeeze(),
+        RepeatedBlock(step_layers(s1), K),
+        SplitPrior(s1, width=WIDTH),
+        Squeeze(),
+        RepeatedBlock(step_layers(s2), K),
+    ])
+
+    rs = np.random.RandomState(5)
+    n, batch, steps_per_epoch = 40, 8, 5
+    data = (rs.randint(0, 256, (n,) + size)
+            + rs.uniform(0.0, 1.0, (n,) + size)).astype(np.float32)
+
+    LR, GAMMA, CLAMP = 2e-4, 0.96170, 0.01   # flagship gamma/clamp
+    exp = _make_experiment(flow, data, dict(batch_size=batch, lr=LR,
+                                            modified_grad=True,
+                                            add_recon_grad=True,
+                                            sym_recon_grad=True,
+                                            weight_clamp=CLAMP),
+                           tmp_path)
+    # flagship optimizer/scheduler (SGD defaults come from _make_experiment;
+    # override to the registry's Adam + ExponentialLR)
+    object.__setattr__(exp.cfg, "optimizer_name", "Adam")
+    object.__setattr__(exp.cfg, "scheduler_name", "ExponentialLR")
+    object.__setattr__(exp.cfg, "gamma", GAMMA)
+    from inverse_flow_tpu.train.optim import make_optimizer
+    exp.tx, exp.lr_schedule = make_optimizer(exp.cfg, steps_per_epoch)
+    exp._build_steps()
+
+    params_dev = _perturbed_params_of(flow, size, scale=0.05, seed=13)
+    params0 = jax.device_get(params_dev)
+    exp.state = exp.state._replace(params=params_dev,
+                                   opt_state=exp.tx.init(params_dev))
+    exp._data_initialized = True
+
+    losses_jax = []
+    state = exp.state
+    for epoch in range(2):               # 2 epochs x 5 batches = 10 steps
+        for b in range(steps_per_epoch):
+            x = jnp.asarray(data[b * batch:(b + 1) * batch])
+            state, loss, _ = exp._train_step(state, x,
+                                             jax.random.PRNGKey(0))
+            losses_jax.append(float(loss))
+
+    # ---- torch/f64 replica -------------------------------------------
+    leaves, treedef = jax.tree_util.tree_flatten(params0)
+    params_t = [t64(l, True) for l in leaves]
+    tp = jax.tree_util.tree_unflatten(treedef, params_t)
+
+    def mask_consts(c):
+        w0 = jnp.zeros((c, c, 3, 3), jnp.float32)
+        base = np.asarray(apply_mask(w0))
+        m01 = np.asarray(apply_mask(jnp.ones_like(w0))) - base
+        return t64(m01), t64(base)
+
+    masks = {4: mask_consts(s1[0]), 7: mask_consts(s2[0])}
+
+    def t_step_stack(x, total, stacked, mask01, base, hw):
+        for k in range(K):
+            p_act, p_inv, p_spl, p_cpl = [
+                jax.tree_util.tree_map(lambda t: t[k], sp)
+                for sp in stacked]
+            # ActNorm
+            x = (x - p_act["translation"].view(1, -1, 1, 1)) * torch.exp(
+                -p_act["log_scale"].view(1, -1, 1, 1))
+            total = total - p_act["log_scale"].sum() * hw
+            # inv-conv (training direction = dense solve; ldj = 0)
+            w_eff = mask01 * p_inv["w"] + base
+            x, _ = _t_inv_conv(x, w_eff)
+            # RQ-spline activation (global knots)
+            x, ld = _t_rq_spline(x, p_spl["widths"], p_spl["heights"],
+                                 p_spl["derivs"], TB, N_BINS)
+            total = total + ld.reshape(x.shape[0], -1).sum(-1)
+            # coupling
+            x, ld = _t_coupling(x, p_cpl)
+            total = total + ld
+        return x, total
+
+    def t_loss(x_np):
+        x = t64(x_np)
+        total = torch.zeros(x.shape[0], dtype=torch.float64)
+        x, l = _t_normalize(x, 0.0, 256.0); total = total + l
+        x, l = _t_normalize(x, -ALPHA_N, 1.0 / (1.0 - 2.0 * ALPHA_N))
+        total = total + l
+        x, l = _t_logit(x); total = total + l
+        x, l = _t_squeeze(x); total = total + l
+        x, total = t_step_stack(x, total, tp[4]["steps"], *masks[4],
+                                s1[1] * s1[2])
+        # SplitPrior: coupling, then factor out the second half
+        x, l = _t_coupling(x, tp[5]); total = total + l
+        half = s1[0] // 2
+        x, x2 = x[:, :half], x[:, half:]
+        total = total + _t_prior_logprob(x2)
+        x, l = _t_squeeze(x); total = total + l
+        x, total = t_step_stack(x, total, tp[7]["steps"], *masks[7],
+                                s2[1] * s2[2])
+        return -(_t_prior_logprob(x) + total).mean()
+
+    warmup_steps = steps_per_epoch          # warmup_epochs=1
+    adam_m = [torch.zeros_like(v) for v in params_t]
+    adam_v = [torch.zeros_like(v) for v in params_t]
+    losses_t = []
+    step = 0
+    for epoch in range(2):
+        for b in range(steps_per_epoch):
+            loss = t_loss(data[b * batch:(b + 1) * batch])
+            losses_t.append(float(loss.detach()))
+            for v in params_t:
+                v.grad = None
+            loss.backward()
+            lr_t = (LR * min((step + 1.0) / warmup_steps, 1.0)
+                    * GAMMA ** (step // steps_per_epoch))
+            _t_adam_step(params_t, lr_t, adam_m, adam_v, step + 1, CLAMP)
+            step += 1
+
+    losses_jax = np.asarray(losses_jax)
+    losses_t = np.asarray(losses_t)
+    rel = np.abs(losses_jax - losses_t) / np.abs(losses_t)
+    assert rel.max() < 2e-3, (
+        f"flagship trajectories diverge at step {int(rel.argmax())}: "
+        f"{losses_jax[rel.argmax()]:.4f} vs {losses_t[rel.argmax()]:.4f}")
+    # trajectory moved, and the flagship weight clamp actually held
+    assert np.std(losses_t) > 0
+    w_max = max(float(np.max(np.abs(l)))
+                for l in jax.tree_util.tree_leaves(
+                    jax.device_get(state.params)))
+    assert w_max <= CLAMP + 1e-6
+
+
+def _perturbed_params_of(flow, size, scale=0.05, seed=13):
+    params, _ = flow.init(jax.random.PRNGKey(0), size)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+    return jax.tree_util.tree_unflatten(treedef, [
+        l + scale * jax.random.normal(k, l.shape, l.dtype)
+        for l, k in zip(leaves, keys)])
