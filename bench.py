@@ -81,7 +81,17 @@ CONFIGS = {
     # slope A/B has no-remat 1.081x faster (215.2 vs 232.6 ms/step,
     # 4/4 pairs, results/true_step_time.jsonl). Before coupling_remat,
     # activations exceeded HBM (18.43 G > 15.75 G).
-    "imagenet32_b1024": lambda: _glow_imagenet32(batch=1024),
+    # bf16 couplings ADOPTED for the throughput config (round 5): wins
+    # 1.028x/1.029x in two independent sessions (4/4 pairs each, second
+    # calib-plausible at 195.8 TFLOP/s); measured BPD cost of the policy
+    # on a trained model is 0.0018 (BASELINE.md). The b100
+    # reference-batch configs stay f32 for reference parity.
+    "imagenet32_b1024": lambda: _glow_imagenet32(
+        batch=1024, coupling_dtype="bfloat16"),
+    # b4096 still needs whole-body remat: the no-remat HBM boundary is
+    # b2048 (20.52 G > 15.75 G even with coupling_remat — STATUS.md), so
+    # batches above it keep RepeatedBlock(remat=True)
+    "imagenet32_b4096": lambda: _glow_imagenet32(batch=4096, remat=True),
     "imagenet32_exact": lambda: _glow_imagenet32(
         step_kind="inv_flow_unit_exact"),
     "imagenet32_bf16_couplings": lambda: _glow_imagenet32(
@@ -93,7 +103,7 @@ CONFIGS = {
 
 # (k1, k2) scan lengths per config — k2 sized so one K2 trial stays in
 # single-digit seconds at the measured step times.
-_K_PAIRS = {"imagenet32_b1024": (2, 10)}
+_K_PAIRS = {"imagenet32_b1024": (2, 10), "imagenet32_b4096": (1, 5)}
 _K_DEFAULT = (4, 20)
 
 
@@ -191,7 +201,11 @@ def bench_config(name, build, sample_latency=True, trials=3):
     if sample_latency:
         one_step, params, opt_state, rng = cost_parts
         make_sample = _make_sample_scan(flow, params)
-        sample_ms, _, _ = slope_time(make_sample, 4, 12, trials=2)
+        # n=1 draws are cheap (<= a few ms each), so a wide K spread +
+        # 3 trials costs little and fixes the round-4 sweep's noise
+        # (the same sampling program read 2.2 and 4.0 ms/img in two
+        # rows at trials=2, K spread 8)
+        sample_ms, _, _ = slope_time(make_sample, 8, 40, trials=3)
 
     # analytic FLOPs of ONE train step (XLA cost model) -> achieved
     # FLOP/s / MFU against the bf16 peak (couplings run at default
@@ -217,6 +231,14 @@ def bench_config(name, build, sample_latency=True, trials=3):
     achieved = (step_flops / (step_ms * 1e-3) / 1e12 if step_flops else None)
     mfu = (100.0 * achieved / peak_tflops
            if achieved and peak_tflops else None)
+    # roofline floor: the time the step's analytic FLOPs would take at
+    # the bf16 MXU peak — the "is X ms good?" yardstick. Low MFU against
+    # it is expected for flow models (elementwise spline/solve work and
+    # small operands dominate; see results/step_profile_*_detail.md for
+    # the per-op attribution), but the bound makes that statement
+    # quantitative instead of bare.
+    compute_bound_ms = (step_flops / (peak_tflops * 1e12) * 1e3
+                        if step_flops and peak_tflops else None)
 
     return {
         "config": name,
@@ -230,6 +252,8 @@ def bench_config(name, build, sample_latency=True, trials=3):
                               if step_flops else None),
         "achieved_tflops": round(achieved, 3) if achieved else None,
         "mfu_pct_of_bf16_peak": round(mfu, 3) if mfu else None,
+        "roofline_compute_bound_ms": (round(compute_bound_ms, 4)
+                                      if compute_bound_ms else None),
         "peak_tflops_assumed": peak_tflops,
         "methodology": "slope(scan-K in-program, value-read synced)",
         "scan_k": [k1, k2],

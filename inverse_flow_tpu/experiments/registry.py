@@ -15,7 +15,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Optional
 
-from ..data import cifar10, digits, imagenet, mnist, synthetic
+from ..data import cifar10, digits, imagenet, mnist, patches, synthetic
 from ..models.glow import build_cnn_flow, build_fc_flow, build_glow
 from ..train.config import ExperimentConfig
 
@@ -381,6 +381,22 @@ _register(ExperimentSpec(
                        split_prior=True, activation="SLR"),
     digits.load_data,
     ExperimentConfig(name="IF Glow RealDigits", lr=1e-3, batch_size=100,
+                     epochs=30, warmup_epochs=2, modified_grad=True,
+                     add_recon_grad=False, recon_loss_weight=0.0,
+                     scheduler_name="None", eval_train=False)))
+
+# Second embedded real set (data/patches.py: 2,080 real 16x16 RGB patches
+# from scikit-learn's bundled photographs) — real pixels on the 3-channel
+# CIFAR/ImageNet32 shape class; trajectory: results/real_patches_bpd.jsonl.
+PATCHES = (3, 16, 16)
+
+_register(ExperimentSpec(
+    "real_patches_glow",
+    lambda: build_glow(PATCHES, step_kind="inv_flow_unit", num_blocks=2,
+                       block_size=4, coupling_width=64, actnorm=True,
+                       split_prior=True, activation="SLR"),
+    patches.load_data,
+    ExperimentConfig(name="IF Glow RealPatches", lr=1e-3, batch_size=104,
                      epochs=30, warmup_epochs=2, modified_grad=True,
                      add_recon_grad=False, recon_loss_weight=0.0,
                      scheduler_name="None", eval_train=False)))
