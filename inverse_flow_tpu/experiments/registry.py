@@ -333,6 +333,14 @@ _register(ExperimentSpec(
                      scheduler_name="None")))
 
 _register(ExperimentSpec(
+    "if_auto_timescaling",
+    lambda: None,
+    synthetic.load_data,
+    ExperimentConfig(name="IF auto timescaling", lr=1e-5, batch_size=128,
+                     modified_grad=True, add_recon_grad=False,
+                     scheduler_name="None")))
+
+_register(ExperimentSpec(
     "snf_timescaling",
     lambda: None,
     synthetic.load_data,

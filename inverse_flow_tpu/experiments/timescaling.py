@@ -48,6 +48,13 @@ def run_timescaling(name="if_timescaling", sizes=None, batch_size=128,
             layers = [InvFlowNoPad(1, (2, 2), solver="jacobi",
                                    jacobi_iters=12)
                       for _ in range(n_layers)]
+        elif "auto" in name:
+            # shape-aware policy (ops/solver_policy.py): exact on
+            # squares, Jacobi inside the measured tall-thin win window —
+            # the sweep that shows the policy picking each side of the
+            # crossover automatically
+            layers = [InvFlowNoPad(1, (2, 2), solver="auto")
+                      for _ in range(n_layers)]
         else:
             layers = [InvFlowNoPad(1, (2, 2)) for _ in range(n_layers)]
         flow = Flow(GaussianPrior(shape), layers)

@@ -255,10 +255,23 @@ def _row_matrices(w_eff, width: int):
 # Block-row matrices: R rows of the banded operator at a time
 # ---------------------------------------------------------------------------
 
+# Rows-per-block override for the slope A/B (scan_slope_bench
+# imagenet32_exact_r4/_r8 vs the default heuristic): None = the
+# _choose_block_rows heuristic below. Larger R halves the sequential
+# scan length per doubling (fewer in-scan steps) at O((R*CW)^3)
+# operator-build and bigger-matmul cost — where the optimum sits is a
+# hardware question, so it is measured, not assumed. Values are
+# identical for any R (same math, different blocking) —
+# tests/test_inv_conv.py::test_row_block_override_matches_default.
+R_ROWS_OVERRIDE = None
+
+
 def _choose_block_rows(h: int, cw: int, kh: int) -> int:
     """Rows per block: targets ~384-wide MXU operands, caps the O((R*CW)^3)
     per-call triangular inversion, and keeps R >= KH-1 so inter-block
     dependence reaches back exactly one block."""
+    if R_ROWS_OVERRIDE:
+        return max(max(kh - 1, 1), min(int(R_ROWS_OVERRIDE), h))
     r = max(kh - 1, 1, min(h, -(-384 // cw)))
     while r > max(kh - 1, 1) and r * cw > 1024:
         r -= 1

@@ -230,6 +230,12 @@ CASES = {
         (3, 32, 32), 1024),
     "imagenet32_b4096_remat": _train_case(
         lambda: _imagenet32_flow(remat=True), (3, 32, 32), 4096),
+    # bf16 couplings at b4096: the b1024 adjudication showed the
+    # coupling convs go bandwidth-bound at production batch (1.029x
+    # adopted); test whether the win persists under whole-body remat
+    "imagenet32_b4096_remat_bf16": _train_case(
+        lambda: _imagenet32_flow(remat=True, coupling_dtype="bfloat16"),
+        (3, 32, 32), 4096),
     "imagenet32_b256": _train_case(
         lambda: _imagenet32_flow(), (3, 32, 32), 256),
     # solver A/B at both scales (true device-time verdicts).
@@ -270,6 +276,21 @@ CASES = {
     # 'patch' = shifted-slice stack + one dot_general (default);
     # 'conv' = batch-as-contraction convolution (the round-2 path that
     # profiled at 66% of the exact ImageNet32 step)
+    # rows-per-block sweep (R_ROWS_OVERRIDE): the heuristic picks r=2 at
+    # production CW=192-384; larger r halves the sequential scan length
+    # per doubling at bigger operator-build cost — measured, not assumed
+    "imagenet32_exact_r4": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        R_ROWS_OVERRIDE=4),
+    "imagenet32_exact_r8": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        R_ROWS_OVERRIDE=8),
+    "imagenet32_exact_rdefault": _with_op_flags(
+        _train_case(lambda: _imagenet32_flow(
+            step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),
+        R_ROWS_OVERRIDE=None),
     "imagenet32_exact_wgpatch": _with_op_flags(
         _train_case(lambda: _imagenet32_flow(
             step_kind="inv_flow_unit_exact"), (3, 32, 32), 100),

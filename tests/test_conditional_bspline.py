@@ -24,6 +24,7 @@ def _net_out(key, batch, y_dim, n_bins):
     return 0.5 * jax.random.normal(key, (batch, y_dim * (n_bins + 3)))
 
 
+@pytest.mark.slow
 def test_transformer_roundtrip_and_logdet():
     t = ConditionalBSplineTransformer(y_dim=5, n_bins=6,
                                       left=0.0, right=1.0,

@@ -42,6 +42,7 @@ def test_training_decreases_loss(tmp_path):
     assert l2 < l1, f"loss did not decrease: {l1} -> {l2}"
 
 
+@pytest.mark.slow
 def test_eval_and_bpd(tmp_path):
     exp = _tiny_setup(tmp_path)
     exp.train_epoch(1)
@@ -51,6 +52,7 @@ def test_eval_and_bpd(tmp_path):
     assert 0 < bpd < 30
 
 
+@pytest.mark.slow
 def test_eval_mc_averaging_reduces_noise(tmp_path):
     # the n-sample dequantization estimate must agree with the 1-sample
     # one in expectation and vary less across rng draws
@@ -72,6 +74,7 @@ def test_eval_mc_averaging_reduces_noise(tmp_path):
     assert s8 < s1                       # averaged estimate is tighter
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     exp = _tiny_setup(tmp_path)
     exp.train_epoch(1)
@@ -273,6 +276,7 @@ def test_shard_map_dp_trains_with_stochastic_layers(tmp_path):
     assert np.isfinite(lp)
 
 
+@pytest.mark.slow
 def test_sampling_shapes(tmp_path):
     exp = _tiny_setup(tmp_path)
     exp.maybe_data_init(next(iter(exp.train_loader)))
@@ -378,6 +382,7 @@ def test_repeated_block_exact_path_dispatch():
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_amortized_exact_eval_matches_direct():
     """eval's amortized path (cheap log_prob + params-only
     exact_ldj_correction) must equal the direct exact log_prob — for both
@@ -433,6 +438,7 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(restored["nested"]["b"]), 1.0)
 
 
+@pytest.mark.slow
 def test_coupling_tp_sharding_matches_replicated():
     """2-D (data, model) mesh: tensor-sharding the coupling width must not
     change the math (XLA inserts the collectives)."""
@@ -492,6 +498,7 @@ def test_verbose_per_layer_ldj(tmp_path):
     assert any(str(r.get("name", "")).startswith("ldj/") for r in rows)
 
 
+@pytest.mark.slow
 def test_remat_block_matches_plain():
     from inverse_flow_tpu.models.glow import build_glow
 
@@ -512,6 +519,7 @@ def test_remat_block_matches_plain():
                                    atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_scan_unroll_matches_plain():
     """scan_unroll replicates the scan body N times per iteration —
     values and grads must match the pure scan (incl. a non-divisor
@@ -537,6 +545,7 @@ def test_scan_unroll_matches_plain():
                                        atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fc_flow_plot_recon_shapes(tmp_path):
     """FC flows reconstruct to the flat vector; plot_recon must view it
     back as the input image (regression: selfnorm_fc_mnist smoke)."""

@@ -31,6 +31,7 @@ def _weights(c, kh, kw, n, seed=0, scale=0.1):
 ORDERS4 = ("TL", "TR", "BL", "BR")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("c,h,w,kh,kw,orders", [
     (2, 8, 8, 3, 3, ORDERS4),          # generic 4-order unit
     (4, 14, 14, 3, 3, ORDERS4),        # Glow-MNIST level-1 shape class
@@ -53,6 +54,7 @@ def test_fused_matches_reference(c, h, w, kh, kw, orders):
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_vjp_matches_reference_grad():
     c, h, w = 2, 8, 8
     w_effs = _weights(c, 3, 3, 4, seed=3)
@@ -75,6 +77,7 @@ def test_fused_vjp_matches_reference_grad():
                                    atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_inverse_roundtrip_through_unit_layer():
     from inverse_flow_tpu.layers.inv_flow import InvFlowUnit
 
@@ -107,6 +110,7 @@ def test_viability_gate():
     assert not fc.fused_viable((2, 2, 2, 3), (3, 3), ORDERS4)
 
 
+@pytest.mark.slow
 def test_grouped_fused_matches_grouped_solve():
     """Dense block-diagonal expansion == the grouped blocked solve (the
     FincFlow level-2 class, all orders one launch)."""
@@ -127,6 +131,7 @@ def test_grouped_fused_matches_grouped_solve():
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_fincflow_fused_sampling_roundtrip():
     from inverse_flow_tpu.layers.padded_conv import FincFlowUnit
 
@@ -143,6 +148,7 @@ def test_fincflow_fused_sampling_roundtrip():
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_vjp_at_padded_height():
     """Gradients through the padded-final-block path (prime height)."""
     c, h, w = 2, 7, 4
@@ -194,6 +200,7 @@ def test_fused_units_inside_scanned_glow():
                for l in jax.tree_util.tree_leaves(g))
 
 
+@pytest.mark.slow
 def test_fused_under_shard_map_batch_dp():
     """The fused chain composes with explicit SPMD: shard_map over the
     batch axis of an 8-device mesh must match the unsharded op (the

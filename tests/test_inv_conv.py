@@ -21,12 +21,14 @@ def _random_weff(key, c, kh, kw, scale=0.3):
 
 
 @pytest.mark.parametrize("c,h,w,kh,kw", [
-    (1, 5, 5, 3, 3),
-    (4, 8, 8, 3, 3),
-    (4, 6, 6, 2, 2),
-    (3, 7, 5, 3, 2),   # non-square image, non-square kernel
-    (4, 8, 8, 1, 1),   # 1x1: pure channel triangular solve
-    (2, 1, 6, 2, 3),   # single-row image
+    pytest.param(1, 5, 5, 3, 3, marks=pytest.mark.slow),
+    pytest.param(4, 8, 8, 3, 3, marks=pytest.mark.slow),
+    pytest.param(4, 6, 6, 2, 2, marks=pytest.mark.slow),
+    pytest.param(3, 7, 5, 3, 2,
+                 marks=pytest.mark.slow),  # non-square image + kernel
+    (4, 8, 8, 1, 1),   # 1x1: pure channel triangular solve (fast tier)
+    pytest.param(2, 1, 6, 2, 3,
+                 marks=pytest.mark.slow),  # single-row image
 ])
 def test_solve_matches_dense_oracle(c, h, w, kh, kw):
     key = jax.random.PRNGKey(0)
@@ -59,6 +61,7 @@ def test_roundtrip_and_unit_logdet():
     np.testing.assert_allclose(float(logdet), 0.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_grouped_solve():
     c, g = 8, 4
     key = jax.random.PRNGKey(3)
@@ -74,6 +77,7 @@ def test_grouped_solve():
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_custom_vjp_matches_dense_autodiff():
     """Gradient parity with autodiff through the dense solve."""
     c, h, w, kh, kw = 3, 5, 5, 3, 3
@@ -118,6 +122,7 @@ def test_solve_jits_and_batches():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_block_toeplitz_inverse_matches_lu():
     from inverse_flow_tpu.ops.inv_conv import (_block_toeplitz_inverse,
                                                _row_matrices, _tri_block)
@@ -159,6 +164,7 @@ def test_dense_conv_operator_matches_conv(cin, cout, k, stride, pad):
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_jacobi_solve_converges():
     from inverse_flow_tpu.ops.inv_conv import inv_conv_solve_jacobi
 
@@ -207,6 +213,7 @@ def test_solve_shape_fuzz():
             err_msg=f"shape b{b} c{c} {h}x{w} k{kh}x{kw}")
 
 
+@pytest.mark.slow
 def test_jacobi_implicit_vjp_matches_exact():
     from inverse_flow_tpu.ops.inv_conv import inv_conv_solve_jacobi_implicit
 
@@ -269,6 +276,7 @@ def test_jacobi_tol_early_exit_matches_exact():
     assert np.all(np.isfinite(np.asarray(y_layer)))
 
 
+@pytest.mark.slow
 def test_chain_vjp_matches_per_layer_composition():
     """The whole-unit chain solve (one order-batched wgrad conv,
     ``inv_conv_chain_solve``) must be value- AND gradient-identical to
@@ -308,6 +316,7 @@ def test_chain_vjp_matches_per_layer_composition():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_chain_batched_matches_per_layer():
     """The batched-build chain (``inv_conv_chain_solve_batched``: one
     vmapped operator build for all 4 orders + backward t_inv reuse) must
@@ -351,6 +360,7 @@ def test_chain_batched_matches_per_layer():
                                        atol=1e-5)
 
 
+@pytest.mark.slow
 def test_prepared_solve_matches_unprepared():
     """Prepared-operator path (build-once t_inv/G + transposed-scan VJP,
     ``inv_conv_solve_prepared``): values must be bit-identical to
@@ -399,6 +409,7 @@ def test_prepared_solve_matches_unprepared():
                                        atol=1e-4)
 
 
+@pytest.mark.slow
 def test_prepared_block_parity_and_gate():
     """RepeatedBlock hoists prepare() over K (vmapped, outside the scan);
     with PREPARED_SOLVE toggled the block's forward value and gradients
@@ -441,6 +452,7 @@ def test_prepared_block_parity_and_gate():
         ic.PREPARED_SOLVE = old
 
 
+@pytest.mark.slow
 def test_operator_assembly_modes_identical():
     """'einsum' (one-hot selection contraction) and 'gather' operator
     assembly must agree bit-exactly: every output element selects exactly
@@ -467,6 +479,7 @@ def test_operator_assembly_modes_identical():
             np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_row_matrices_flat_matches_einsum():
     """ROW_MATS_FLAT builds the (KH, CW, CW) stack pre-flattened (no 6-D
     intermediate + retiling reshape); every contraction is a one-hot
@@ -493,6 +506,7 @@ def test_row_matrices_flat_matches_einsum():
     np.testing.assert_array_equal(np.asarray(via_flag), np.asarray(ref))
 
 
+@pytest.mark.slow
 def test_built_apply_blocks_matches_dense():
     """BUILT_APPLY='blocks' (Toeplitz D-block operators, no dense
     t_inv/p/g assembly) must be value- and gradient-identical to the
@@ -538,3 +552,33 @@ def test_built_apply_blocks_matches_dense():
             np.testing.assert_allclose(np.asarray(a["w"]) / scale,
                                        np.asarray(b_["w"]) / scale,
                                        atol=2e-4)
+
+
+@pytest.mark.slow
+def test_row_block_override_matches_default():
+    """R_ROWS_OVERRIDE changes only the blocking, never the values: the
+    solve and its gradients are identical for any rows-per-block."""
+    from inverse_flow_tpu.ops import inv_conv as ic
+
+    rng = jax.random.PRNGKey(3)
+    w = 0.05 * jax.random.normal(rng, (3, 3, 3, 3))
+    w_eff = ic.apply_mask(w)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 3, 12, 6))
+
+    def run():
+        y, vjp = jax.vjp(lambda xx, ww: ic.inv_conv_solve(xx, ww), x, w_eff)
+        dx, dw = vjp(jnp.ones_like(y))
+        return y, dx, dw
+
+    y0, dx0, dw0 = run()
+    try:
+        ic.R_ROWS_OVERRIDE = 4
+        y4, dx4, dw4 = run()
+        ic.R_ROWS_OVERRIDE = 12
+        y12, dx12, dw12 = run()
+    finally:
+        ic.R_ROWS_OVERRIDE = None
+    for a, b in ((y4, y0), (dx4, dx0), (dw4, dw0),
+                 (y12, y0), (dx12, dx0), (dw12, dw0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)

@@ -77,6 +77,7 @@ def test_activation_inverse_and_logdet(layer):
     check_logdet(layer, params, x)
 
 
+@pytest.mark.slow
 def test_spline_activation():
     layer = SplineActivation(IMG_SHAPE, n_bins=5, tail_bound=10.0,
                              individual_weights=True)
@@ -100,6 +101,7 @@ def test_actnorm():
     check_logdet(layer, params, x)
 
 
+@pytest.mark.slow
 def test_actnorm_fc():
     layer, params, x, _ = _make(ActNormFC(FC_SHAPE[0]), shape=FC_SHAPE)
     params = layer.data_init(params, x)
@@ -120,6 +122,7 @@ def test_conv1x1_householder():
     check_logdet(layer, params, x, atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_coupling():
     layer, params, x, _ = _make(Coupling(IMG_SHAPE, width=32))
     # nonzero coupling net output: perturb zero-init final conv
@@ -129,6 +132,7 @@ def test_coupling():
     check_logdet(layer, params, x, atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_coupling_remat_net_identical():
     """remat_net only changes WHEN the net's activations are computed
     (backward recompute vs forward stash) — values and gradients must be
@@ -179,6 +183,7 @@ def test_logit_sigmoid():
     check_logdet(layer2, params2, x2, atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_dequantization():
     dist = UniformDistribution(IMG_SHAPE)
     layer = Dequantization(dist)
@@ -192,6 +197,7 @@ def test_dequantization():
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_rec), atol=0)
 
 
+@pytest.mark.slow
 def test_splitprior():
     layer = SplitPrior(IMG_SHAPE, width=16)
     params, out_shape = layer.init(KEY, IMG_SHAPE)
@@ -212,7 +218,12 @@ from inverse_flow_tpu.layers import (InvFlow, InvFlowNoPad, InvFlowUnit,
                                      PaddedConv2d, FincFlowUnit)
 
 
-@pytest.mark.parametrize("order", ["TL", "TR", "BL", "BR"])
+@pytest.mark.parametrize("order", [
+    "TL",
+    pytest.param("TR", marks=pytest.mark.slow),
+    pytest.param("BL", marks=pytest.mark.slow),
+    pytest.param("BR", marks=pytest.mark.slow),
+])
 def test_inv_flow_orders(order):
     layer, params, x, _ = _make(InvFlow(IMG_SHAPE[0], (3, 3), order=order),
                                 seed=11)
@@ -223,6 +234,7 @@ def test_inv_flow_orders(order):
     check_logdet(layer, params, x, atol=1e-3)  # must be exactly 0
 
 
+@pytest.mark.slow
 def test_inv_flow_no_pad_and_unit():
     layer, params, x, _ = _make(InvFlowNoPad(IMG_SHAPE[0], (2, 2)), seed=13)
     check_inverse(layer, params, x, atol=2e-3)
@@ -241,12 +253,14 @@ def test_padded_conv(order):
     check_logdet(layer, params, x, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_fincflow_unit():
     layer, params, x, _ = _make(FincFlowUnit(IMG_SHAPE[0], (3, 3)), seed=16)
     check_inverse(layer, params, x, atol=2e-3)
     check_logdet(layer, params, x, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_bspline_activation():
     from inverse_flow_tpu.layers import BSplineActivation
     layer = BSplineActivation(n_bins=8, tail_bound=4.0)
@@ -270,6 +284,7 @@ def test_bspline_monotone_and_endpoint_fixed():
                                rtol=5e-2)
 
 
+@pytest.mark.slow
 def test_gaussianize_roundtrip_and_logdet():
     from inverse_flow_tpu.layers import Gaussianize
     layer = Gaussianize(2)
@@ -312,6 +327,7 @@ def test_gaussianize_split_and_fastflow():
     assert s.shape == (2, 3, 16, 16)
 
 
+@pytest.mark.slow
 def test_inv_flow_jacobi_solver():
     from inverse_flow_tpu.layers.inv_flow import InvFlow
     layer = InvFlow(3, (3, 3), order="TR", solver="jacobi", jacobi_iters=16)
@@ -325,6 +341,7 @@ def test_inv_flow_jacobi_solver():
     assert np.isfinite(np.asarray(g["w"]).sum())
 
 
+@pytest.mark.slow
 def test_inv_flow_unit_jacobi_solver():
     """InvFlowUnit(solver='jacobi'): all four orders by Neumann
     iterations — must agree with the exact unit to iteration tolerance

@@ -13,6 +13,7 @@ tests pin the invariants that make the policy safe:
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from inverse_flow_tpu.layers import Coupling
@@ -27,6 +28,7 @@ def _params(rng, layer, scale):
         for l, k in zip(leaves, ks)])
 
 
+@pytest.mark.slow
 def test_bf16_coupling_roundtrip_exact():
     size = (4, 8, 8)
     layer = Coupling(size, width=32, compute_dtype="bfloat16")

@@ -36,6 +36,7 @@ def _wgrad_oracle(g, x, kh, kw, padding):
     return np.einsum("bohw,bcijhw->ocij", np.asarray(g), p)
 
 
+@pytest.mark.slow
 def test_selfnorm_custom_vjp_matches_reference_algebra():
     b, cin, cout, k, pad = 4, 3, 3, 3, 1
     keys = jax.random.split(jax.random.PRNGKey(0), 5)
@@ -76,6 +77,7 @@ def test_selfnorm_custom_vjp_matches_reference_algebra():
     np.testing.assert_allclose(np.asarray(gb), gb_ref, atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_selfnorm_conv_inverse_paths():
     layer = SelfNormConv(4, 4, (1, 1), bias=True)
     layer, params, x, _ = _make(layer, seed=21)
@@ -95,6 +97,7 @@ def test_selfnorm_conv_inverse_paths():
                                rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_selfnorm_conv3x3_exact_logdet():
     layer = SelfNormConv(2, 2, (3, 3), bias=False, padding=1)
     layer, params, x, _ = _make(layer, shape=(2, 6, 6), seed=22)
@@ -120,6 +123,7 @@ def test_selfnorm_fc():
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_rec), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_emerging_ar_conv():
     layer, params, x, _ = _make(SquareAutoRegressiveConv2d(4), seed=24)
     check_inverse(layer, params, x, atol=2e-3)
@@ -169,6 +173,7 @@ def test_convexp_sigma_tracks_drifting_kernel():
     assert abs(sigma - sigma_true) / sigma_true < 0.02, (sigma, sigma_true)
 
 
+@pytest.mark.slow
 def test_convexp_carry_threaded_through_train_step():
     """u changes across trainer steps, is never weight-clamped, and gets
     zero optimizer updates (carry_mask)."""
