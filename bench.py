@@ -90,8 +90,13 @@ CONFIGS = {
         batch=1024, coupling_dtype="bfloat16"),
     # b4096 still needs whole-body remat: the no-remat HBM boundary is
     # b2048 (20.52 G > 15.75 G even with coupling_remat — STATUS.md), so
-    # batches above it keep RepeatedBlock(remat=True)
-    "imagenet32_b4096": lambda: _glow_imagenet32(batch=4096, remat=True),
+    # batches above it keep RepeatedBlock(remat=True). bf16 couplings
+    # ADOPTED here too (round 5): wins 1.108x (4/4, calib 190.25 =
+    # 1.00x ref) — the bandwidth-bound coupling share GROWS with batch
+    # (flagship tie -> 1.029x at b1024 -> 1.108x at b4096, where remat
+    # recomputes the couplings in the backward as well).
+    "imagenet32_b4096": lambda: _glow_imagenet32(
+        batch=4096, remat=True, coupling_dtype="bfloat16"),
     "imagenet32_exact": lambda: _glow_imagenet32(
         step_kind="inv_flow_unit_exact"),
     "imagenet32_bf16_couplings": lambda: _glow_imagenet32(
