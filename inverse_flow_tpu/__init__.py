@@ -12,14 +12,28 @@ __version__ = "0.1.0"
 
 
 def enable_compilation_cache(path=None):
-    """Turn on JAX's persistent compilation cache (safe on CPU and TPU,
-    including tunneled/remote-compile backends — verified to cut repeat
-    compiles from seconds-to-minutes to milliseconds). Called by the CLI,
-    bench.py, and the scripts; library users opt in explicitly."""
+    """Turn on JAX's persistent compilation cache for accelerator
+    backends (verified to cut repeat compiles from seconds-to-minutes to
+    milliseconds, including on tunneled/remote-compile backends). Called
+    by the CLI, bench.py, and the scripts; library users opt in
+    explicitly.
+
+    Skipped when the active platform is CPU: XLA:CPU caches AOT machine
+    code keyed without the host's CPU feature set, so an artifact cached
+    by one machine can SIGILL on another (observed: '+prefer-no-scatter
+    ... not supported on the host machine' loader errors when a cache
+    directory moved hosts). CPU compiles here are seconds, not minutes —
+    the cache buys little and risks a crash.
+    """
     import os
 
     import jax
 
+    try:
+        if jax.default_backend() == "cpu":
+            return None
+    except Exception:
+        pass
     path = path or os.environ.get(
         "IFT_JAX_CACHE_DIR",
         os.path.expanduser("~/.cache/inverse_flow_tpu/xla"))

@@ -33,11 +33,15 @@ def main(argv=None):
                              "experiment's own checkpoint path)")
     args = parser.parse_args(argv)
 
-    from . import enable_compilation_cache
-    enable_compilation_cache()
+    # --cpu must be applied BEFORE anything initializes a backend:
+    # enable_compilation_cache probes the default backend (to skip the
+    # persistent cache on CPU, where cross-host AOT artifacts can
+    # SIGILL), and that probe would otherwise dial the accelerator.
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    from . import enable_compilation_cache
+    enable_compilation_cache()
 
     from .experiments import EXPERIMENTS, get_experiment
 
