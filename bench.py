@@ -381,13 +381,21 @@ def main():
     # (imagenet32_exact 52.70 vs 52.76 ms). A reading beyond peak means
     # the co-run is NOT tracking model-rate drift in that session, so
     # normalization would corrupt the headline rather than stabilize it.
+    # Two-sided band, same policy as scan_slope_bench._calib_ok: one
+    # session's co-run slope came out NEGATIVE (-1601 TFLOP/s — the
+    # small-K arm ran slower than the large-K arm under host contention)
+    # and a <=1.1*peak check alone would let it through, publishing a
+    # negative "normalized" ms. And if EITHER the pre or the post
+    # reading is out of band, the session's co-run demonstrably failed
+    # at least once, so the surviving reading cannot be trusted to
+    # normalize either — publish raw-only with the implausible flag.
     both = [calib["tflops"], calib_post["tflops"]]
-    plausible = [t for t in both if t <= 1.1 * 197.0]
-    if plausible:
+    plausible = [t for t in both if 0.5 * 190.71 <= t <= 1.1 * 197.0]
+    if len(plausible) == 2:
         mean_t = sum(plausible) / len(plausible)
         result["extra"]["value_norm_ms"] = round(
             row["train_step_ms"] * mean_t / 190.71, 3)
-        if len(plausible) == 2 and max(both) / min(both) > 1.10:
+        if max(both) / min(both) > 1.10:
             # in-session drift: the normalization itself is only good
             # to the pre/post spread — surface it
             result["extra"]["calib_drift_pct"] = round(

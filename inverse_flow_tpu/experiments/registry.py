@@ -353,7 +353,12 @@ _register(ExperimentSpec(
 # isolates the sequential wavefront axis
 for _tname, _tlabel in (("if_tall_timescaling", "IF tall timescaling"),
                         ("if_jacobi_tall_timescaling",
-                         "IF jacobi tall timescaling")):
+                         "IF jacobi tall timescaling"),
+                        # the axis where solver='auto' actually routes
+                        # Jacobi — without this entry the CLI could only
+                        # sweep auto on squares, where auto==exact
+                        ("if_auto_tall_timescaling",
+                         "IF auto tall timescaling")):
     _register(ExperimentSpec(
         _tname,
         lambda: None,

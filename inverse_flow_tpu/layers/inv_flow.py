@@ -81,7 +81,10 @@ class InvFlow(FlowLayer):
     # 'jacobi' = height-independent Neumann iterations (implicit-VJP,
     # O(1) memory) — for tall images / fast sampling. ``jacobi_tol > 0``
     # stops early once max|residual| < tol (``jacobi_iters`` becomes an
-    # upper bound).
+    # upper bound). When 'auto' routes here the solve ignores the bare
+    # ``jacobi_iters`` truncation and runs residual-guarded with the
+    # nilpotency iteration cap instead (exact at any weight magnitude;
+    # see ``_jacobi_params``).
     solver: str = "exact"
     jacobi_iters: int = 12
     jacobi_tol: float = 0.0
@@ -123,6 +126,19 @@ class InvFlow(FlowLayer):
             return self.solver
         from ..ops.solver_policy import resolve_auto
         return resolve_auto(x_shape, self.kernel_size, self.groups)
+
+    def _jacobi_params(self, x_shape):
+        """(iters, tol) for the Jacobi solve at this shape. Explicit
+        ``solver='jacobi'`` honors the user's settings verbatim; a
+        POLICY-routed solve (``solver='auto'``) runs residual-guarded
+        with the nilpotency iteration cap, so 'auto' keeps exact
+        semantics at ANY weight magnitude (ops/solver_policy.py:
+        ``auto_jacobi_params``)."""
+        if self.solver != "auto":
+            return self.jacobi_iters, self.jacobi_tol
+        from ..ops.solver_policy import auto_jacobi_params
+        return auto_jacobi_params(x_shape, self.groups,
+                                  self.jacobi_iters, self.jacobi_tol)
 
     def prepare(self, params, shape):
         # Prepared-operator path (ops/inv_conv.py module note): exact
@@ -180,9 +196,9 @@ class InvFlow(FlowLayer):
         ax = _flip_axes(self.order)
         x = jnp.flip(x, ax) if ax else x
         if self._eff_solver(x.shape) == "jacobi":
+            iters, tol = self._jacobi_params(x.shape)
             y = inv_conv_solve_jacobi_implicit(
-                x, self._w_eff(params), self.groups, self.jacobi_iters,
-                self.jacobi_tol)
+                x, self._w_eff(params), self.groups, iters, tol)
         else:
             y = inv_conv_solve(x, self._w_eff(params), self.groups)
         y = jnp.flip(y, ax) if ax else y
@@ -232,10 +248,12 @@ class InvFlowUnit(FlowLayer):
     kernel_size: Tuple[int, int] = (3, 3)
     # 'jacobi': every order solved by height-independent Neumann
     # iterations (masked convs — fully MXU-parallel, implicit-function
-    # VJP, O(1) memory). Approximate to ``jacobi_iters`` Neumann terms
-    # (f32 round-off at production weight scales — parity asserted in
-    # tests/test_solver_policy.py); 'auto' routes to it only inside the
-    # measured tall-thin win window (ops/solver_policy.py).
+    # VJP, O(1) memory). Explicit 'jacobi' truncates at ``jacobi_iters``
+    # Neumann terms (f32 round-off at production weight scales — parity
+    # asserted in tests/test_solver_policy.py); 'auto' routes to it only
+    # inside the measured tall-thin win window (ops/solver_policy.py)
+    # and runs residual-guarded with the nilpotency iteration cap so the
+    # routed solve stays exact at any weight magnitude.
     solver: str = "auto"
     jacobi_iters: int = 12
     jacobi_tol: float = 0.0
@@ -306,9 +324,12 @@ class InvFlowUnit(FlowLayer):
         if self._eff_solver(x.shape) == "jacobi":
             # per-layer Neumann solves (requested explicitly, or routed
             # by the 'auto' tall-thin policy); the chain restructures
-            # below are exact-path only
+            # below are exact-path only. Policy-routed convs stay 'auto'
+            # so each solve picks up the residual guard + nilpotency cap
+            # (InvFlow._jacobi_params) instead of a bare fixed-12 solve.
             ldj = zeros_ldj(x)
-            for conv, p in zip(self._convs("jacobi"), params["convs"]):
+            per_layer = "jacobi" if self.solver == "jacobi" else "auto"
+            for conv, p in zip(self._convs(per_layer), params["convs"]):
                 x, l = conv.forward(p, x)
                 ldj = ldj + l
             return x, ldj

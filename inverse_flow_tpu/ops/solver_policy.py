@@ -39,10 +39,18 @@ amortized. Production configs (imagenet32 whole-unit A/B: exact wins
 4/4, ratio 0.67) stay exact.
 
 The policy below routes to Jacobi only INSIDE the measured win region —
-thin images (short spatial axis and per-group channel count both tiny,
-i.e. the exact solve is sequential-depth-bound, not FLOP-bound) with the
-long axis in the measured [64, 512] window — and to the exact solve
-everywhere else, including every unmeasured regime.
+TALL thin images (H the long axis, W x per-group channels <= 2, i.e.
+the exact solve is sequential-depth-bound, not FLOP-bound) with H in
+the measured [64, 512] window at kernels within the measured 2x2
+footprint — and to the exact solve everywhere else, including every
+unmeasured regime. Wide (W-long) shapes are NOT the transpose of the
+tall case for the exact solver — its scan runs over ROWS, so an H=1
+image is a single log-depth block solve — and were never measured, so
+they stay exact. A policy-routed Jacobi solve additionally runs
+residual-guarded with the nilpotency iteration cap
+(:func:`auto_jacobi_params`), so routing never changes semantics even
+when trained weights leave the small-init regime the 12-term
+truncation relies on.
 """
 
 from __future__ import annotations
@@ -60,6 +68,14 @@ JACOBI_LONG_MAX = 512
 # Larger widths make the exact solve's matmuls efficient enough that
 # squares-style verdicts apply -> exact.
 JACOBI_THIN_MAX = 2
+# Every crossover row was measured at kernel 2x2 (the timescaling
+# config); larger kernels change BOTH arms' per-step cost, so they stay
+# on the exact default until measured.
+JACOBI_KERNEL_MAX = 2
+# Residual guard for policy-routed Jacobi (see auto_jacobi_params):
+# stop once the iteration's max step difference falls below this —
+# ~f32 round-off on the O(1) activations flows operate on.
+JACOBI_AUTO_TOL = 1e-7
 
 
 def resolve_auto(x_shape, kernel_size=(3, 3), groups: int = 1) -> str:
@@ -69,11 +85,47 @@ def resolve_auto(x_shape, kernel_size=(3, 3), groups: int = 1) -> str:
     ``'jacobi'`` inside the measured tall-thin win window, ``'exact'``
     everywhere else. Shapes are static under jit, so this is ordinary
     Python executed at trace time.
+
+    The window is deliberately the MEASURED region only: H must be the
+    long axis (every crossover row is a tall ``(1, H, 1)`` image — and
+    the exact solver's sequential depth is ``ceil(H / row_block)``, so a
+    wide ``(1, 1, W)`` image is a SINGLE log-depth block solve for it,
+    not the transpose of the tall case), and the kernel must be within
+    the measured 2x2 footprint.
     """
     c, h, w = (int(x_shape[-3]), int(x_shape[-2]), int(x_shape[-1]))
-    long_ax, short_ax = max(h, w), min(h, w)
     cg = c // max(groups, 1)
-    if (short_ax * cg <= JACOBI_THIN_MAX
-            and JACOBI_LONG_MIN <= long_ax <= JACOBI_LONG_MAX):
+    if (h >= w
+            and w * cg <= JACOBI_THIN_MAX
+            and JACOBI_LONG_MIN <= h <= JACOBI_LONG_MAX
+            and max(kernel_size) <= JACOBI_KERNEL_MAX):
         return "jacobi"
     return "exact"
+
+
+def auto_jacobi_params(x_shape, groups: int = 1,
+                       requested_iters: int = 12,
+                       requested_tol: float = 0.0):
+    """Iteration budget for a POLICY-routed Jacobi solve: ``(iters, tol)``.
+
+    A fixed 12-term Neumann truncation is only f32-exact while the
+    masked weights stay near the small-init / ``weight_clamp=0.01``
+    regime; trained weights can grow past it, and a silently wrong
+    forward would also silently break ``forward∘inverse = id`` while
+    still reporting ldj = 0. So when ``'auto'`` (rather than an explicit
+    ``solver='jacobi'`` with user-chosen ``jacobi_iters``) selects the
+    Jacobi path, the solve runs residual-guarded:
+
+    * ``iters`` = ``cg*H*W`` — the strict-triangular nilpotency index
+      bound, at which the Neumann series is EXACT for any weight
+      magnitude (inside the routed window this is <= 2*512 = 1024);
+    * ``tol``   = the layer's own ``jacobi_tol`` when set (> 0), else
+      ``JACOBI_AUTO_TOL`` — the early-exit while_loop stops at about
+      ``requested_iters`` steps in the production weight regime and
+      only iterates further when convergence actually needs it.
+    """
+    c, h, w = (int(x_shape[-3]), int(x_shape[-2]), int(x_shape[-1]))
+    cg = c // max(groups, 1)
+    nilpotency_cap = max(cg * h * w, requested_iters)
+    tol = requested_tol if requested_tol > 0.0 else JACOBI_AUTO_TOL
+    return nilpotency_cap, tol

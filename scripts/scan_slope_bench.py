@@ -181,16 +181,33 @@ def _matmul_case(dtype_name, n=4096):
     return builder
 
 
+# Import-time defaults of every op-level flag any wrapped case touches.
+# Populated lazily (first touch records the pristine value); restored by
+# _reset_op_flags() before EVERY program build so an override cannot
+# leak into the other arm's trace — a leaked flag silently turns an A/B
+# into A vs A (run_ab compiles both B programs AFTER both A programs).
+_OP_FLAG_DEFAULTS = {}
+
+
+def _reset_op_flags():
+    import inverse_flow_tpu.ops.inv_conv as ic
+    for k, v in _OP_FLAG_DEFAULTS.items():
+        setattr(ic, k, v)
+
+
 def _with_op_flags(case_builder, **flags):
     """Wrap a case so each make_program(K) sets module globals on
     ops.inv_conv right before tracing — lets one in-process A/B compile
-    both implementations of an op-level switch (e.g. WGRAD_IMPL)."""
+    both implementations of an op-level switch (e.g. WGRAD_IMPL).
+    Callers build programs via run_ab/main, which reset the flags to
+    their recorded defaults before every build."""
     def builder():
         make, meta = case_builder()
 
         def make2(K):
             import inverse_flow_tpu.ops.inv_conv as ic
             for k, v in flags.items():
+                _OP_FLAG_DEFAULTS.setdefault(k, getattr(ic, k))
                 setattr(ic, k, v)
             return make(K)
         return make2, meta
@@ -746,6 +763,7 @@ def run_ab(case_a, case_b, k1, k2, trials, out, calib=None):
     compile_s = {}
     for (tag, mk) in (("a", make_a), ("b", make_b)):
         for k in (k1, k2):
+            _reset_op_flags()   # no cross-arm flag leakage (A vs A bug)
             t0 = time.time()
             p = mk(k)
             v = float(p(0))
@@ -821,6 +839,7 @@ def main():
 
     make_program, meta = CASES[args.case]()
 
+    _reset_op_flags()
     t0 = time.time()
     prog_a = make_program(args.k1)
     va = float(prog_a(0))              # compile + run + drain-read

@@ -37,8 +37,10 @@ from inverse_flow_tpu.ops.solver_policy import resolve_auto
     ((128, 1, 64, 1), "jacobi"),
     ((128, 1, 128, 1), "jacobi"),
     ((128, 1, 512, 1), "jacobi"),
-    # wide is the transpose of tall — same sequential-depth argument
-    ((128, 1, 1, 128), "jacobi"),
+    # wide is NOT the transpose of tall for the exact solver (its scan
+    # runs over rows — H=1 is a single log-depth block solve) and was
+    # never measured: exact
+    ((128, 1, 1, 128), "exact"),
     # outside the window: exact retakes at H=2048 (measured), and short
     # chains never amortize the 12x conv-FLOP multiplier
     ((128, 1, 2048, 1), "exact"),
@@ -56,6 +58,14 @@ def test_resolve_auto_groups_use_per_group_channels():
     # still above short*cg <= 2 with short=1? short*cg = 2 -> jacobi
     assert resolve_auto((4, 8, 128, 1), (2, 2), groups=4) == "jacobi"
     assert resolve_auto((4, 8, 128, 1), (2, 2), groups=1) == "exact"
+
+
+def test_resolve_auto_kernel_gate():
+    # every crossover row was measured at kernel 2x2; larger kernels
+    # change both arms' costs and stay on the exact default
+    assert resolve_auto((128, 1, 128, 1), (3, 3)) == "exact"
+    assert resolve_auto((128, 1, 128, 1), (2, 2)) == "jacobi"
+    assert resolve_auto((128, 1, 128, 1), (1, 2)) == "jacobi"
 
 
 # ---------------------------------------------------------------------------
@@ -128,6 +138,62 @@ def test_unit_auto_prepare_skips_jacobi_shapes():
     unit = InvFlowUnit(1, (2, 2), solver="auto")
     params, _ = unit.init(jax.random.PRNGKey(0), (1, 128, 1))
     assert unit.prepare(params, (1, 128, 1)) is None
+
+
+def _large_weight_setup(h=128):
+    # |w| = 0.7 on every masked tap: far outside the small-init /
+    # weight_clamp=0.01 regime. A bare 12-term Neumann truncation errs
+    # by ~0.7^12 ~ 1e-2 here — the regime the residual guard exists for.
+    shape = (1, h, 1)
+    params = {"w": jnp.full((1, 1, 2, 2), 0.7, jnp.float32)}
+    x = jax.random.normal(jax.random.PRNGKey(1), (4,) + shape, jnp.float32)
+    return shape, params, x
+
+
+def test_auto_guard_exact_at_large_weights():
+    """Policy-routed Jacobi must keep exact semantics OUTSIDE the
+    small-init regime: 'auto' runs residual-guarded with the nilpotency
+    iteration cap (ops/solver_policy.auto_jacobi_params), so growing
+    trained weights can never silently corrupt forward()."""
+    _, params, x = _large_weight_setup()
+    auto = InvFlowNoPad(1, (2, 2), solver="auto")
+    exact = InvFlowNoPad(1, (2, 2), solver="exact")
+    bare = InvFlowNoPad(1, (2, 2), solver="jacobi", jacobi_iters=12)
+    assert auto._eff_solver(x.shape) == "jacobi"
+    y_auto, _ = auto.forward(params, x)
+    y_exact, _ = exact.forward(params, x)
+    y_bare, _ = bare.forward(params, x)
+    # the bare truncation is materially wrong here — otherwise this
+    # test would not discriminate the guard from the old fixed-12 route
+    assert float(jnp.max(jnp.abs(y_bare - y_exact))) > 1e-4
+    np.testing.assert_allclose(np.asarray(y_auto), np.asarray(y_exact),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_auto_guard_gradients_at_large_weights():
+    _, params, x = _large_weight_setup()
+    auto = InvFlowNoPad(1, (2, 2), solver="auto")
+    exact = InvFlowNoPad(1, (2, 2), solver="exact")
+
+    def loss(layer):
+        def f(p):
+            y, _ = layer.forward(p, x)
+            return jnp.sum(y ** 2)
+        return jax.grad(f)(params)
+
+    g_auto, g_exact = loss(auto), loss(exact)
+    np.testing.assert_allclose(np.asarray(g_auto["w"]),
+                               np.asarray(g_exact["w"]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_auto_guard_roundtrip_at_large_weights():
+    _, params, x = _large_weight_setup()
+    auto = InvFlowNoPad(1, (2, 2), solver="auto")
+    y, _ = auto.forward(params, x)
+    x_rec = auto.inverse(params, y)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_auto_roundtrip_through_inverse():
