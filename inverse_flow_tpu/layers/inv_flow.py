@@ -127,18 +127,22 @@ class InvFlow(FlowLayer):
         from ..ops.solver_policy import resolve_auto
         return resolve_auto(x_shape, self.kernel_size, self.groups)
 
-    def _jacobi_params(self, x_shape):
-        """(iters, tol) for the Jacobi solve at this shape. Explicit
-        ``solver='jacobi'`` honors the user's settings verbatim; a
-        POLICY-routed solve (``solver='auto'``) runs residual-guarded
+    def _jacobi_solve(self, x, w_eff):
+        """The Jacobi solve at this shape. Explicit ``solver='jacobi'``
+        honors the user's (``jacobi_iters``, ``jacobi_tol``) verbatim;
+        a POLICY-routed solve (``solver='auto'``) runs residual-guarded
         with the nilpotency iteration cap, so 'auto' keeps exact
         semantics at ANY weight magnitude (ops/solver_policy.py:
         ``auto_jacobi_params``)."""
         if self.solver != "auto":
-            return self.jacobi_iters, self.jacobi_tol
+            return inv_conv_solve_jacobi_implicit(
+                x, w_eff, self.groups, self.jacobi_iters, self.jacobi_tol)
+        from ..ops.inv_conv import inv_conv_solve_jacobi_guarded_implicit
         from ..ops.solver_policy import auto_jacobi_params
-        return auto_jacobi_params(x_shape, self.groups,
-                                  self.jacobi_iters, self.jacobi_tol)
+        fast, cap, tol = auto_jacobi_params(
+            x.shape, self.groups, self.jacobi_iters, self.jacobi_tol)
+        return inv_conv_solve_jacobi_guarded_implicit(
+            x, w_eff, self.groups, fast, cap, tol)
 
     def prepare(self, params, shape):
         # Prepared-operator path (ops/inv_conv.py module note): exact
@@ -196,9 +200,7 @@ class InvFlow(FlowLayer):
         ax = _flip_axes(self.order)
         x = jnp.flip(x, ax) if ax else x
         if self._eff_solver(x.shape) == "jacobi":
-            iters, tol = self._jacobi_params(x.shape)
-            y = inv_conv_solve_jacobi_implicit(
-                x, self._w_eff(params), self.groups, iters, tol)
+            y = self._jacobi_solve(x, self._w_eff(params))
         else:
             y = inv_conv_solve(x, self._w_eff(params), self.groups)
         y = jnp.flip(y, ax) if ax else y

@@ -760,6 +760,99 @@ def inv_conv_solve_jacobi(x, w_eff, groups: int = 1, iters: int = 12,
     return lax.fori_loop(0, iters, body, x)
 
 
+def inv_conv_solve_jacobi_guarded(x, w_eff, groups: int = 1,
+                                  fast_iters: int = 12,
+                                  cap_iters: int = 128,
+                                  tol: float = 1e-3):
+    """Residual-guarded Neumann solve with a FORI fast path.
+
+    The tol-driven ``lax.while_loop`` in :func:`inv_conv_solve_jacobi`
+    is semantically right but measured ~15x slower than the plain
+    ``fori_loop`` at the tall-thin shapes the 'auto' policy routes here
+    (TPU control flow cannot pipeline across while iterations, and each
+    iteration pays a max-reduction + condition at tensor sizes where
+    the conv itself is ~microseconds). This variant keeps the fast path
+    branch-free: ``fast_iters`` fixed iterations, ONE extra iteration
+    whose step difference is the convergence residual, then a
+    ``lax.cond`` that — only when the residual exceeds ``tol`` —
+    continues with fixed iterations up to ``cap_iters`` total. With
+    ``cap_iters`` >= the strict-triangular nilpotency index (cg*H*W)
+    the fallback branch is as exact as the conv precision allows for
+    any weight magnitude, and in the production small-weight regime it
+    never executes, so the guarded solve costs the unguarded one plus
+    a single masked conv.
+
+    ``tol`` is RELATIVE to the input scale (``resid < tol*(1+max|x|)``)
+    and must sit ABOVE the conv's numeric noise floor: at the adopted
+    ``SOLVE_PRECISION='high'`` the step difference plateaus at ~8e-5
+    relative on TPU (measured; 'highest' plateaus at ~2e-7), so a
+    tighter tol makes the cond unfireable and the cap branch run every
+    step — measured 8x end-to-end regression. The default 1e-3 sits
+    10x above the floor and 10x below the truncation error the guard
+    exists to catch (grown weights err at >= 1e-2)."""
+    def step(y):
+        return x - (masked_conv_apply(y, w_eff, groups) - y)
+
+    def body(_, y):
+        return step(y)
+
+    y = lax.fori_loop(0, fast_iters, body, x)
+    y_next = step(y)                       # iteration fast_iters + 1
+    resid = jnp.max(jnp.abs(y_next - y))
+    remaining = max(cap_iters - fast_iters - 1, 0)
+    return lax.cond(resid < tol * (1.0 + jnp.max(jnp.abs(x))),
+                    lambda v: v,
+                    lambda v: lax.fori_loop(0, remaining, body, v),
+                    y_next)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def inv_conv_solve_jacobi_guarded_implicit(x, w_eff, groups: int = 1,
+                                           fast_iters: int = 12,
+                                           cap_iters: int = 128,
+                                           tol: float = 1e-3):
+    """:func:`inv_conv_solve_jacobi_guarded` with the same implicit-
+    function-theorem VJP as :func:`inv_conv_solve_jacobi_implicit` —
+    the cotangent system is solved by the guarded iteration too, so
+    gradients inherit the same exactness guarantee. This is the op the
+    ``solver='auto'`` policy routes to (ops/solver_policy.py)."""
+    return inv_conv_solve_jacobi_guarded(x, w_eff, groups,
+                                         fast_iters=fast_iters,
+                                         cap_iters=cap_iters, tol=tol)
+
+
+def _jacobi_guarded_fwd(x, w_eff, groups, fast_iters, cap_iters, tol):
+    y = inv_conv_solve_jacobi_guarded(x, w_eff, groups,
+                                      fast_iters=fast_iters,
+                                      cap_iters=cap_iters, tol=tol)
+    return y, (y, w_eff)
+
+
+def _jacobi_guarded_bwd(groups, fast_iters, cap_iters, tol, res, g):
+    y, w_eff = res
+    kh, kw = w_eff.shape[2], w_eff.shape[3]
+    g_f = jnp.flip(g, (2, 3))
+    w_t = _transpose_kernel(w_eff, groups)
+    dx = jnp.flip(
+        inv_conv_solve_jacobi_guarded(g_f, w_t, groups,
+                                      fast_iters=fast_iters,
+                                      cap_iters=cap_iters, tol=tol),
+        (2, 3))
+    y_pad = jnp.pad(y, ((0, 0), (0, 0), (kh - 1, 0), (kw - 1, 0)))
+    if groups == 1:
+        dw = -_wgrad(dx, y_pad, kh, kw)
+    else:
+        dxs = jnp.split(dx, groups, axis=1)
+        ys = jnp.split(y_pad, groups, axis=1)
+        dw = -jnp.concatenate(
+            [_wgrad(d, yp, kh, kw) for d, yp in zip(dxs, ys)], axis=0)
+    return dx, dw
+
+
+inv_conv_solve_jacobi_guarded_implicit.defvjp(_jacobi_guarded_fwd,
+                                              _jacobi_guarded_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def inv_conv_solve_jacobi_implicit(x, w_eff, groups: int = 1,
                                    iters: int = 12, tol: float = 0.0):

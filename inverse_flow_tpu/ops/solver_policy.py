@@ -73,9 +73,14 @@ JACOBI_THIN_MAX = 2
 # on the exact default until measured.
 JACOBI_KERNEL_MAX = 2
 # Residual guard for policy-routed Jacobi (see auto_jacobi_params):
-# stop once the iteration's max step difference falls below this —
-# ~f32 round-off on the O(1) activations flows operate on.
-JACOBI_AUTO_TOL = 1e-7
+# the guarded solve's lax.cond fallback fires when the post-fast-path
+# step difference exceeds tol * (1 + max|x|). Must sit ABOVE the conv's
+# numeric noise floor — measured ~8e-5 relative at the adopted
+# SOLVE_PRECISION='high' on TPU (~2e-7 at 'highest'); a tighter tol
+# makes the cond unfireable, the cap branch run every step, and auto
+# LOSE 8x end-to-end (measured). 1e-3 is 10x above the floor and 10x
+# below the >= 1e-2 truncation error the guard exists to catch.
+JACOBI_AUTO_TOL = 1e-3
 
 
 def resolve_auto(x_shape, kernel_size=(3, 3), groups: int = 1) -> str:
@@ -106,7 +111,9 @@ def resolve_auto(x_shape, kernel_size=(3, 3), groups: int = 1) -> str:
 def auto_jacobi_params(x_shape, groups: int = 1,
                        requested_iters: int = 12,
                        requested_tol: float = 0.0):
-    """Iteration budget for a POLICY-routed Jacobi solve: ``(iters, tol)``.
+    """Iteration budget for a POLICY-routed Jacobi solve:
+    ``(fast_iters, cap_iters, tol)`` for
+    :func:`~inverse_flow_tpu.ops.inv_conv.inv_conv_solve_jacobi_guarded_implicit`.
 
     A fixed 12-term Neumann truncation is only f32-exact while the
     masked weights stay near the small-init / ``weight_clamp=0.01``
@@ -116,16 +123,23 @@ def auto_jacobi_params(x_shape, groups: int = 1,
     ``solver='jacobi'`` with user-chosen ``jacobi_iters``) selects the
     Jacobi path, the solve runs residual-guarded:
 
-    * ``iters`` = ``cg*H*W`` — the strict-triangular nilpotency index
-      bound, at which the Neumann series is EXACT for any weight
+    * ``fast_iters`` = the layer's ``jacobi_iters`` (default 12) —
+      branch-free fori_loop, the measured-fast program;
+    * ``cap_iters`` = ``cg*H*W`` — the strict-triangular nilpotency
+      index bound, at which the Neumann series is EXACT for any weight
       magnitude (inside the routed window this is <= 2*512 = 1024);
+      the continuation to the cap sits behind a ``lax.cond`` and only
+      executes when the post-fast-path residual exceeds ``tol``;
     * ``tol``   = the layer's own ``jacobi_tol`` when set (> 0), else
-      ``JACOBI_AUTO_TOL`` — the early-exit while_loop stops at about
-      ``requested_iters`` steps in the production weight regime and
-      only iterates further when convergence actually needs it.
+      ``JACOBI_AUTO_TOL``.
+
+    (A tol-driven ``while_loop`` would be semantically equivalent but
+    was measured ~15x slower end-to-end at the routed tall shapes —
+    TPU control flow cannot pipeline across while iterations — hence
+    the fori fast path + single guarded fallback.)
     """
     c, h, w = (int(x_shape[-3]), int(x_shape[-2]), int(x_shape[-1]))
     cg = c // max(groups, 1)
     nilpotency_cap = max(cg * h * w, requested_iters)
     tol = requested_tol if requested_tol > 0.0 else JACOBI_AUTO_TOL
-    return nilpotency_cap, tol
+    return requested_iters, nilpotency_cap, tol

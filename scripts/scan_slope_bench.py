@@ -685,6 +685,25 @@ CASES = {
                          num_blocks=1, block_size=2, activation="None",
                          kernel=(2, 2))), (1, h, 1), 128)
        for h in (128, 512, 2048)},
+    # wide (1, 1, W) axis: resolve_auto routes these EXACT (the exact
+    # solver's scan runs over rows — H=1 is a single log-depth block
+    # solve, nothing like the tall case). These two arms measure that
+    # claim: exact vs explicit jacobi at the transpose of the tall-128
+    # shape.
+    **{f"timescale_wide_w{w}": _train_case(
+        (lambda w=w: __import__(
+            "inverse_flow_tpu.models.glow", fromlist=["build_cnn_flow"]
+        ).build_cnn_flow((1, 1, w), step_kind="inv_conv_no_pad",
+                         num_blocks=1, block_size=2, activation="None",
+                         kernel=(2, 2))), (1, 1, w), 128)
+       for w in (128,)},
+    **{f"timescale_jac_wide_w{w}": _train_case(
+        (lambda w=w: __import__(
+            "inverse_flow_tpu.models.glow", fromlist=["build_cnn_flow"]
+        ).build_cnn_flow((1, 1, w), step_kind="inv_conv_jacobi",
+                         num_blocks=1, block_size=2, activation="None",
+                         kernel=(2, 2))), (1, 1, w), 128)
+       for w in (128,)},
     # component attribution variants (flagship)
     "glow_mnist_splinenat": _train_case(
         lambda: _glow_mnist_flow(activation="SplineNat"), (1, 28, 28),
