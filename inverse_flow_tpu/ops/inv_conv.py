@@ -119,7 +119,15 @@ def center_mask(c_out: int, c_in: int, kh: int, kw: int):
 
 
 def apply_mask(w):
-    """``w_eff = w*mask + I_center`` — unit-lower-triangular center tap."""
+    """``w_eff = w*mask + I_center`` — unit-lower-triangular center tap.
+
+    Requires a SQUARE (per-group) kernel: on a rectangular full grouped
+    kernel the center eye/triangle would land only on the first group's
+    channels, producing a silently singular operator — mask each
+    ``(cg, cg, kh, kw)`` group separately (as ``InvFlow._w_eff`` does)."""
+    if w.shape[0] != w.shape[1]:    # not assert: must survive python -O
+        raise ValueError(
+            f"apply_mask expects a square per-group kernel, got {w.shape}")
     mask, eye = center_mask(*w.shape)
     return w * mask + eye
 
@@ -478,23 +486,13 @@ def _solve_ungrouped(x, w_eff, r_rows=None):
         xp = jnp.pad(x_rows, ((0, 0), (0, nb * r - h), (0, 0)))
         xb = xp.reshape(b, nb, rcw)
         if SOLVE_APPLY == "blocks" and r > 1 and cw >= 256:
-            # c = x @ T_blk^{-T} via the Toeplitz D-blocks: block (i,j)
-            # of t_inv is D[i-j] (zero above the diagonal), so only
-            # r(r+1)/2 of the r^2 block products exist — 25% fewer
-            # FLOPs at r=2 than the dense einsum, same result. Gated on
-            # cw >= 256: below that the (cw,cw) block products are
-            # MXU-starved and one dense (rcw,rcw) matmul is better
-            # (flagship cw=56 keeps the dense path).
+            # triangular D-block projection (25% fewer FLOPs at r=2
+            # than the dense einsum, same result). Gated on cw >= 256:
+            # below that the (cw,cw) block products are MXU-starved and
+            # one dense (rcw,rcw) matmul is better (flagship cw=56
+            # keeps the dense path).
             xs = xb.reshape(b, nb, r, cw)
-            c_sub = []
-            for i in range(r):
-                acc = None
-                for j in range(i + 1):
-                    term = jnp.einsum("bnw,vw->bnv", xs[:, :, j],
-                                      d_stack[i - j], precision=_sp())
-                    acc = term if acc is None else acc + term
-                c_sub.append(acc)
-            c_all = jnp.stack(c_sub, axis=2).reshape(b, nb, rcw)
+            c_all = _blocks_project(xs, d_stack).reshape(b, nb, rcw)
         else:
             c_all = jnp.einsum("bni,ji->bnj", xb, t_inv, precision=_sp())
 
@@ -507,6 +505,24 @@ def _solve_ungrouped(x, w_eff, r_rows=None):
 
     y = y_rows.reshape(b, h, width, c)
     return jnp.transpose(y, (0, 3, 1, 2))
+
+
+def _blocks_project(xs, d_stack):
+    """``c = x @ T_blk^{-T}`` via the Toeplitz D-blocks: block (i, j) of
+    t_inv is D[i-j] (zero above the diagonal), so only r(r+1)/2 of the
+    r^2 block products exist. ``xs`` is (b, nb, r, cw); returns the same
+    shape. Shared by the SOLVE_APPLY='blocks' path of the solve and the
+    BUILT_APPLY='blocks' operator application (:func:`_apply_blocks`)."""
+    r = d_stack.shape[0]
+    c_sub = []
+    for i in range(r):
+        acc = None
+        for j in range(i + 1):
+            term = jnp.einsum("bnw,vw->bnv", xs[:, :, j], d_stack[i - j],
+                              precision=_sp())
+            acc = term if acc is None else acc + term
+        c_sub.append(acc)
+    return jnp.stack(c_sub, axis=2)
 
 
 def _scan_blocks_xla(c_all, g, kcw: int):
@@ -629,9 +645,8 @@ def _apply_built(x, t_inv, g, kh: int):
     return jnp.transpose(y, (0, 3, 1, 2))
 
 
-def _apply_prepared(x, t_inv, g):
-    kh = g.shape[1] // (x.shape[1] * x.shape[3]) + 1
-    return _apply_built(x, t_inv, g, kh)
+def _apply_prepared(x, w_eff, t_inv, g):
+    return _apply_built(x, t_inv, g, w_eff.shape[2])
 
 
 def _apply_built_t(g_ct, t_inv, p, kh: int):
@@ -695,11 +710,11 @@ def inv_conv_solve_prepared(x, w_eff, t_inv, g):
     """Solve ``T(w_eff) y = x`` with a precomputed operator (see module
     note above). Value-identical to :func:`inv_conv_solve`; the VJP
     reuses ``t_inv`` for the transposed solve instead of rebuilding."""
-    return _apply_prepared(x, t_inv, g)
+    return _apply_prepared(x, w_eff, t_inv, g)
 
 
 def _prep_fwd(x, w_eff, t_inv, g):
-    y = _apply_prepared(x, t_inv, g)
+    y = _apply_prepared(x, w_eff, t_inv, g)
     return y, (y, w_eff, t_inv, g)
 
 
@@ -707,8 +722,7 @@ def _prep_bwd(res, g_ct):
     y, w_eff, t_inv, g = res
     kh, kw = w_eff.shape[2], w_eff.shape[3]
     dx = _apply_prepared_t(g_ct, w_eff, t_inv)
-    y_pad = jnp.pad(y, ((0, 0), (0, 0), (kh - 1, 0), (kw - 1, 0)))
-    dw = -_wgrad(dx, y_pad, kh, kw)
+    dw = _solve_wgrad(y, dx, kh, kw, 1)
     return dx, dw, jnp.zeros_like(t_inv), jnp.zeros_like(g)
 
 
@@ -782,6 +796,17 @@ def inv_conv_solve_jacobi_guarded(x, w_eff, groups: int = 1,
     never executes, so the guarded solve costs the unguarded one plus
     a single masked conv.
 
+    The residual is the TRUE linear-system residual, not a mere
+    iteration heuristic: with ``step(y) = x - (T y - y)`` the step
+    difference ``y_next - y`` equals ``x - T y`` exactly, so acceptance
+    certifies a backward-error bound — the accepted iterate solves the
+    system for an input perturbed by at most ``tol*(1+max|x|)`` (and
+    the returned value is one further contraction step past the
+    certified one). The FORWARD error is that times ``||T^{-1}||``,
+    which is O(1) in the routed regimes (and when weights grow enough
+    to make ``||T^{-1}||`` explode, the iteration diverges, the
+    residual grows, and the fallback fires).
+
     ``tol`` is RELATIVE to the input scale (``resid < tol*(1+max|x|)``)
     and must sit ABOVE the conv's numeric noise floor: at the adopted
     ``SOLVE_PRECISION='high'`` the step difference plateaus at ~8e-5
@@ -838,15 +863,7 @@ def _jacobi_guarded_bwd(groups, fast_iters, cap_iters, tol, res, g):
                                       fast_iters=fast_iters,
                                       cap_iters=cap_iters, tol=tol),
         (2, 3))
-    y_pad = jnp.pad(y, ((0, 0), (0, 0), (kh - 1, 0), (kw - 1, 0)))
-    if groups == 1:
-        dw = -_wgrad(dx, y_pad, kh, kw)
-    else:
-        dxs = jnp.split(dx, groups, axis=1)
-        ys = jnp.split(y_pad, groups, axis=1)
-        dw = -jnp.concatenate(
-            [_wgrad(d, yp, kh, kw) for d, yp in zip(dxs, ys)], axis=0)
-    return dx, dw
+    return dx, _solve_wgrad(y, dx, kh, kw, groups)
 
 
 inv_conv_solve_jacobi_guarded_implicit.defvjp(_jacobi_guarded_fwd,
@@ -878,15 +895,7 @@ def _jacobi_bwd(groups, iters, tol, res, g):
     dx = jnp.flip(inv_conv_solve_jacobi(g_f, w_t, groups, iters=iters,
                                         tol=tol),
                   (2, 3))
-    y_pad = jnp.pad(y, ((0, 0), (0, 0), (kh - 1, 0), (kw - 1, 0)))
-    if groups == 1:
-        dw = -_wgrad(dx, y_pad, kh, kw)
-    else:
-        dxs = jnp.split(dx, groups, axis=1)
-        ys = jnp.split(y_pad, groups, axis=1)
-        dw = -jnp.concatenate(
-            [_wgrad(d, yp, kh, kw) for d, yp in zip(dxs, ys)], axis=0)
-    return dx, dw
+    return dx, _solve_wgrad(y, dx, kh, kw, groups)
 
 
 inv_conv_solve_jacobi_implicit.defvjp(_jacobi_fwd, _jacobi_bwd)
@@ -933,17 +942,7 @@ def _inv_conv_bwd(groups, res, g):
     dx = jnp.flip(_solve(g_f, w_t, groups), (2, 3))
 
     # dW = -wgrad(y, dx) over TL-padded y; pure conv, no 6-D tensor.
-    y_pad = jnp.pad(y, ((0, 0), (0, 0), (kh - 1, 0), (kw - 1, 0)))
-    if groups == 1:
-        dw = -_wgrad(dx, y_pad, kh, kw)
-    else:
-        b, c = y.shape[0], y.shape[1]
-        cg = c // groups
-        dxs = jnp.split(dx, groups, axis=1)
-        ys = jnp.split(y_pad, groups, axis=1)
-        dw = -jnp.concatenate(
-            [_wgrad(d, yp, kh, kw) for d, yp in zip(dxs, ys)], axis=0)
-    return dx, dw
+    return dx, _solve_wgrad(y, dx, kh, kw, groups)
 
 
 # Weight-gradient implementation switch. 'conv' (default) is the
@@ -1010,6 +1009,19 @@ def _wgrad(g, x_pad, kh, kw):
     """dK[c,c',a,b] = sum_{n,h,w} g[n,c,h,w] * x_pad[n,c',h+a,w+b]."""
     impl = _wgrad_patch if WGRAD_IMPL == "patch" else _wgrad_conv
     return impl(g, x_pad, kh, kw)
+
+
+def _solve_wgrad(y, dx, kh, kw, groups):
+    """``dW = -wgrad(y, dx)`` over TL-padded ``y`` — the shared weight
+    cotangent of every solve VJP (exact, Jacobi, guarded Jacobi);
+    grouped kernels reduce per group block."""
+    y_pad = jnp.pad(y, ((0, 0), (0, 0), (kh - 1, 0), (kw - 1, 0)))
+    if groups == 1:
+        return -_wgrad(dx, y_pad, kh, kw)
+    dxs = jnp.split(dx, groups, axis=1)
+    ys = jnp.split(y_pad, groups, axis=1)
+    return -jnp.concatenate(
+        [_wgrad(d, yp, kh, kw) for d, yp in zip(dxs, ys)], axis=0)
 
 
 inv_conv_solve.defvjp(_inv_conv_fwd, _inv_conv_bwd)
@@ -1195,15 +1207,7 @@ def _apply_blocks(x, d_stack, gb, kh: int):
     x_rows = jnp.transpose(x, (0, 2, 3, 1)).reshape(b, h, cw)
     xp = jnp.pad(x_rows, ((0, 0), (0, nb * r - h), (0, 0)))
     xs = xp.reshape(b, nb, r, cw)
-    c_sub = []
-    for i in range(r):                       # c = x @ T_blk^{-T}
-        acc = None
-        for j in range(i + 1):
-            term = jnp.einsum("bnw,vw->bnv", xs[:, :, j], d_stack[i - j],
-                              precision=_sp())
-            acc = term if acc is None else acc + term
-        c_sub.append(acc)
-    c_all = jnp.stack(c_sub, axis=2)                          # (b, nb, r, cw)
+    c_all = _blocks_project(xs, d_stack)                      # (b, nb, r, cw)
 
     if nb == 1:
         y_blocks = c_all

@@ -81,6 +81,10 @@ JACOBI_KERNEL_MAX = 2
 # LOSE 8x end-to-end (measured). 1e-3 is 10x above the floor and 10x
 # below the >= 1e-2 truncation error the guard exists to catch.
 JACOBI_AUTO_TOL = 1e-3
+# Smallest user jacobi_tol honored verbatim by the policy route (2.5x
+# above the measured ~8e-5 floor — can actually fire); anything smaller
+# is replaced by JACOBI_AUTO_TOL.
+JACOBI_TOL_MIN = 2e-4
 
 
 def resolve_auto(x_shape, kernel_size=(3, 3), groups: int = 1) -> str:
@@ -130,8 +134,16 @@ def auto_jacobi_params(x_shape, groups: int = 1,
       magnitude (inside the routed window this is <= 2*512 = 1024);
       the continuation to the cap sits behind a ``lax.cond`` and only
       executes when the post-fast-path residual exceeds ``tol``;
-    * ``tol``   = the layer's own ``jacobi_tol`` when set (> 0), else
-      ``JACOBI_AUTO_TOL``.
+    * ``tol``   = the layer's ``jacobi_tol`` when it is at least
+      ``JACOBI_TOL_MIN`` (honored verbatim — such thresholds sit above
+      the conv's noise floor and CAN fire), else ``JACOBI_AUTO_TOL``.
+      The guard's threshold is a routing-safety parameter, not the
+      user's absolute convergence tol: the guarded solve compares the
+      true residual RELATIVE to input scale, and any threshold below
+      the conv's ~8e-5 noise floor can never fire — the cap branch
+      would run every step, silently reintroducing the measured 8x
+      regression. A user who wants exact absolute tol semantics should
+      pick ``solver='jacobi'`` explicitly.
 
     (A tol-driven ``while_loop`` would be semantically equivalent but
     was measured ~15x slower end-to-end at the routed tall shapes —
@@ -141,5 +153,6 @@ def auto_jacobi_params(x_shape, groups: int = 1,
     c, h, w = (int(x_shape[-3]), int(x_shape[-2]), int(x_shape[-1]))
     cg = c // max(groups, 1)
     nilpotency_cap = max(cg * h * w, requested_iters)
-    tol = requested_tol if requested_tol > 0.0 else JACOBI_AUTO_TOL
+    tol = (requested_tol if requested_tol >= JACOBI_TOL_MIN
+           else JACOBI_AUTO_TOL)
     return requested_iters, nilpotency_cap, tol

@@ -311,7 +311,18 @@ class Experiment:
         self.rng, sub = jax.random.split(self.rng)
         return sub
 
-    def _prep_batch(self, x):
+    def _unshard(self, x):
+        """Gather a (possibly mesh-sharded) batch to one fully
+        replicated array. Diagnostic paths (reconstruct plots, verbose
+        per-layer ldj, data-dependent init) run OUTSIDE shard_map,
+        where the automatic partitioner would have to split any fused
+        pallas_call (disallowed) — feed them an unsharded batch; their
+        cost is irrelevant."""
+        if self.mesh is None:
+            return x
+        return jnp.asarray(np.asarray(x))
+
+    def _prep_batch(self, x, shard=True):
         # Image batches are raw 0-255 values (ToTensorNoNorm semantics);
         # uploading them as uint8 and casting on device cuts host->device
         # traffic 4x — the dominant per-step cost on low-bandwidth
@@ -341,7 +352,7 @@ class Experiment:
                 x = jnp.asarray(x, jnp.float32)
         else:
             x = jnp.asarray(x, jnp.float32)
-        if self.mesh is not None:
+        if shard and self.mesh is not None:
             from ..parallel.mesh import shard_batch
             x = shard_batch(x, self.mesh)
         return x
@@ -364,7 +375,7 @@ class Experiment:
         if self._data_initialized:
             return
         params = self.flow.data_init(self.state.params,
-                                     self._prep_batch(x),
+                                     self._prep_batch(x, shard=False),
                                      rng=self._next_rng())
         self.state = self.state._replace(
             params=params, opt_state=self.tx.init(params))
@@ -572,7 +583,8 @@ class Experiment:
         README.md:121)."""
         x = next(iter(self.val_loader))
         _, _, per_layer = self.flow.forward_verbose(
-            self.state.params, self._prep_batch(x), rng=self._next_rng())
+            self.state.params, self._prep_batch(x, shard=False),
+            rng=self._next_rng())
         for name, v in per_layer.items():
             self.logger.log(f"ldj/{name}", float(v))
 
@@ -601,7 +613,9 @@ class Experiment:
                                 self.sample_time.mean)
             self.logger.summary("Sample Time Std", self.sample_time.std)
 
-        x = self._sample(self.state.params, self._next_rng(), False)
+        # exact inverses when the run disables the modified-grad
+        # approximation (mirrors loss_fn's gate on cfg.modified_grad)
+        x = self._sample(self.state.params, self._next_rng(), exact)
         self._save_image_grid(x, f"{epoch}.png")
         if cfg.sample_true_inv:
             x_true = self._sample(self.state.params, self._next_rng(), True)
@@ -609,6 +623,7 @@ class Experiment:
         return x
 
     def plot_recon(self, x, epoch):
+        x = self._unshard(x)
         xhat = self._reconstruct(self.state.params, x, self._next_rng())
         # FC flows reconstruct to the flat vector; view as the input image
         xhat = xhat.reshape(x.shape)

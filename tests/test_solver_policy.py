@@ -187,6 +187,27 @@ def test_auto_guard_gradients_at_large_weights():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_auto_jacobi_params_tol_clamp():
+    """Policy tol rules: user tols at/above JACOBI_TOL_MIN are honored
+    verbatim (they sit above the conv noise floor and can fire); tols
+    below it — which would make the guard's cond unfireable and the
+    nilpotency-cap branch run every step (measured 8x regression) —
+    are replaced by JACOBI_AUTO_TOL."""
+    from inverse_flow_tpu.ops.solver_policy import (JACOBI_AUTO_TOL,
+                                                    JACOBI_TOL_MIN,
+                                                    auto_jacobi_params)
+    shape = (4, 1, 128, 1)
+    fast, cap, tol = auto_jacobi_params(shape)
+    assert (fast, cap, tol) == (12, 128, JACOBI_AUTO_TOL)
+    assert auto_jacobi_params(shape, requested_tol=5e-4)[2] == 5e-4
+    assert auto_jacobi_params(shape, requested_tol=JACOBI_TOL_MIN)[2] \
+        == JACOBI_TOL_MIN
+    assert auto_jacobi_params(shape, requested_tol=1e-6)[2] \
+        == JACOBI_AUTO_TOL
+    # grouped: cap uses per-group channel count
+    assert auto_jacobi_params((4, 8, 128, 1), groups=4)[1] == 2 * 128
+
+
 def test_auto_guard_roundtrip_at_large_weights():
     _, params, x = _large_weight_setup()
     auto = InvFlowNoPad(1, (2, 2), solver="auto")
