@@ -166,8 +166,14 @@ class RepeatedBlock(FlowLayer):
 
         def body(carry, step_params):
             x, total = carry
-            x = jax.lax.stop_gradient(x)
             for layer, p in zip(self.step_layers, step_params):
+                # per-LAYER detach, matching FlowSequential.recon_loss
+                # (the reference's ``x = self.input.detach()``,
+                # selfnorm.py:189): a step-boundary-only detach leaks
+                # recon gradients into preceding sublayers (e.g.
+                # ActNorm) within the step, diverging from the
+                # unrolled build on the same params
+                x = jax.lax.stop_gradient(x)
                 if layer.has_recon_loss:
                     total = total + layer.recon_loss(p, x, sym=sym,
                                                      only_R=only_R)

@@ -14,12 +14,11 @@ design:
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 
-from ..distributions import GaussianPrior
 from .base import FlowLayer
 
 
@@ -208,14 +207,25 @@ class Flow:
             leaves = jax.tree_util.tree_leaves_with_path(p)
             for path, leaf in leaves:
                 a = np.asarray(leaf)
-                if a.ndim != 4 or a.shape[2] > 16 or a.shape[3] > 16:
-                    continue            # not a small conv kernel
                 key = "".join(str(getattr(k, "key", getattr(k, "idx", "")))
                               for k in path)
-                name = f"{prefix}_{i:02d}_{type(layer).__name__}_{key}.png"
-                out = os.path.join(save_dir, name)
-                write_png(out, filter_heatmap_grid(a))
-                written.append(out)
+                # RepeatedBlock stacks step params with a leading K dim
+                # — a 5-D (K, O, I, kh, kw) leaf is K conv kernels, one
+                # heatmap per scanned step (otherwise every kernel
+                # inside a scanned block would be silently skipped)
+                if a.ndim == 5 and a.shape[3] <= 16 and a.shape[4] <= 16:
+                    kernels = [(f"{key}_k{j}", a[j]) for j in
+                               range(a.shape[0])]
+                elif a.ndim == 4 and a.shape[2] <= 16 and a.shape[3] <= 16:
+                    kernels = [(key, a)]
+                else:
+                    continue            # not a small conv kernel
+                for kkey, ka in kernels:
+                    name = (f"{prefix}_{i:02d}_{type(layer).__name__}_"
+                            f"{kkey}.png")
+                    out = os.path.join(save_dir, name)
+                    write_png(out, filter_heatmap_grid(ka))
+                    written.append(out)
         return written
 
     # ------------------------------------------------------------------

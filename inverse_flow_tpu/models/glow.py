@@ -10,8 +10,6 @@ selfnorm / conv1x1 / fincflow / emerging / exponential siblings.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
-
 import numpy as np
 
 from ..distributions import GaussianPrior, UniformDistribution
@@ -39,7 +37,7 @@ def make_activation(name: str, n_bins=5, tail_bound=20.0):
                                              individual_weights=True,
                                              tile_params=False)
     if name == "BSpline":
-        return lambda size: BSplineActivation(n_bins=8,
+        return lambda size: BSplineActivation(n_bins=n_bins,
                                               tail_bound=tail_bound)
     if name == "Identity":
         return lambda size: Identity()
@@ -193,7 +191,12 @@ def build_fc_flow(data_size=(1, 28, 28), num_layers=2, kind="inv_conv_no_pad",
             if act is not None and (l + 1) < num_layers:
                 layers.append(act((dim,)))
         else:
-            layers.append(InvFlowNoPad(size[0], (3, 3)))
+            # every other kind routes through the shared step-layer
+            # factory (raises on unknown kinds instead of silently
+            # substituting a 3x3 inv-conv); kernel=(3,3) preserves the
+            # reference's exact_fc_mnist.py:45 stack for the default
+            layers.append(_step_layer(kind, size[0], size,
+                                      kernel=(3, 3)))
             if act is not None and (l + 1) < num_layers:
                 layers.append(act(size))
     final = (dim,) if kind == "snf_fc" else size

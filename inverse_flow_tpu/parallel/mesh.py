@@ -25,6 +25,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"make_mesh: requested {n_devices} devices but only "
+                f"{len(devices)} are available — a silently smaller mesh "
+                f"would change the DP degree behind the caller's back")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
 
@@ -51,7 +56,13 @@ def make_mesh_2d(n_data: int, n_model: int,
     coupling nets — where nearly all parameters live — shard cleanly over
     a 'model' axis (Megatron-style column/row split of the two wide
     convs), so the framework supports mixed dp x tp out of the box."""
-    devices = np.asarray(jax.devices()[: n_data * n_model])
+    available = jax.devices()
+    if n_data * n_model > len(available):
+        raise ValueError(
+            f"make_mesh_2d: requested {n_data}x{n_model}="
+            f"{n_data * n_model} devices but only {len(available)} are "
+            f"available")
+    devices = np.asarray(available[: n_data * n_model])
     return Mesh(devices.reshape(n_data, n_model), axes)
 
 

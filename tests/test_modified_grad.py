@@ -208,3 +208,43 @@ def test_convexp_carry_threaded_through_train_step():
     # weight_clamp=0.01 would crush ||u||=1 (entries ~0.125); the carry
     # mask must have protected it
     assert abs(float(np.linalg.norm(u_after)) - 1.0) < 1e-4
+
+
+def test_repeated_recon_detach_matches_unrolled():
+    """RepeatedBlock.recon_loss must detach per LAYER (the reference's
+    ``x = self.input.detach()``, selfnorm.py:189), not per scanned step:
+    recon gradients must not leak into preceding sublayers (ActNorm)
+    within a step, and the scanned grads must equal the unrolled build's
+    on identical params."""
+    from inverse_flow_tpu.layers import ActNorm, RepeatedBlock
+
+    shape = (1, 6, 6)
+    block = RepeatedBlock(
+        (ActNorm(1), SelfNormConv(1, 1, (1, 1), bias=True)), 2)
+    params, _ = block.init(jax.random.PRNGKey(0), shape)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3,) + shape)
+
+    def scanned(p):
+        return jnp.sum(block.recon_loss(p, x, sym=True))
+
+    def unrolled(p):
+        h, total = x, 0.0
+        for k in range(2):
+            sp = jax.tree_util.tree_map(lambda s: s[k], p["steps"])
+            for layer, lp in zip(block.step_layers, sp):
+                h = jax.lax.stop_gradient(h)
+                if layer.has_recon_loss:
+                    total = total + jnp.sum(
+                        layer.recon_loss(lp, h, sym=True))
+                h, _ = layer.forward(lp, h)
+        return total
+
+    g_scan = jax.grad(scanned)(params)
+    g_unr = jax.grad(unrolled)(params)
+    # ActNorm (sublayer 0) must receive exactly zero recon gradient
+    for leaf in jax.tree_util.tree_leaves(g_scan["steps"][0]):
+        assert float(jnp.max(jnp.abs(leaf))) == 0.0
+    for a, b in zip(jax.tree_util.tree_leaves(g_scan),
+                    jax.tree_util.tree_leaves(g_unr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -128,3 +128,68 @@ def test_diagonal_gaussian_prior():
     assert np.all(np.isfinite(np.asarray(d.log_prob(bad))))
     s, lp = d.sample(jax.random.PRNGKey(0), 5)
     assert s.shape == (5, 2, 3, 3) and lp.shape == (5,)
+
+
+def test_plot_filters_scanned_blocks(tmp_path):
+    """Stacked (K, O, I, kh, kw) RepeatedBlock leaves must produce one
+    heatmap per scanned step — the default scan_blocks=True build used
+    to silently skip every in-block kernel."""
+    import jax
+
+    from inverse_flow_tpu.models.glow import build_glow
+
+    flow = build_glow((1, 8, 8), step_kind="snf", num_blocks=1,
+                      block_size=2, coupling_width=8, actnorm=True,
+                      split_prior=False, activation="None",
+                      scan_blocks=True)
+    params, _ = flow.init(jax.random.PRNGKey(0), (1, 8, 8))
+    written = flow.plot_filters(params, str(tmp_path), prefix="scan")
+    # the SNF 1x1 kernel is stacked over K=2 steps -> >= 2 block PNGs
+    block_pngs = [w for w in written if "RepeatedBlock" in w]
+    assert len(block_pngs) >= 2, written
+    assert any("_k0" in w for w in block_pngs)
+    assert any("_k1" in w for w in block_pngs)
+
+
+def test_build_fc_flow_honors_kind():
+    """build_fc_flow must build the requested layer family (it used to
+    silently substitute a 3x3 exact inv-conv for every non-snf_fc kind)
+    and raise on unknown kinds like _step_layer does."""
+    import pytest
+
+    from inverse_flow_tpu.layers import Conv1x1, InvFlowNoPad
+    from inverse_flow_tpu.models.glow import build_fc_flow
+
+    flow = build_fc_flow((1, 8, 8), num_layers=2, kind="conv1x1",
+                         activation="None")
+    assert any(isinstance(l, Conv1x1) for l in flow.layers)
+    flow = build_fc_flow((1, 8, 8), num_layers=1, kind="inv_conv_no_pad",
+                         activation="None")
+    kernels = [l.kernel_size for l in flow.layers
+               if isinstance(l, InvFlowNoPad)]
+    assert kernels == [(3, 3)]       # exact_fc_mnist.py:45 parity
+    with pytest.raises(ValueError):
+        build_fc_flow((1, 8, 8), kind="no_such_kind")
+
+
+def test_bspline_activation_honors_n_bins():
+    from inverse_flow_tpu.models.glow import make_activation
+
+    layer = make_activation("BSpline", n_bins=5)((1, 8, 8))
+    assert layer.n_bins == 5
+
+
+def test_mesh_guards():
+    """make_mesh/make_mesh_2d must refuse over-requests instead of
+    silently shrinking the DP degree or dying in a bare numpy reshape."""
+    import jax
+    import pytest
+
+    from inverse_flow_tpu.parallel.mesh import make_mesh, make_mesh_2d
+
+    n = len(jax.devices())
+    assert make_mesh(n_devices=n).size == n
+    with pytest.raises(ValueError, match="available"):
+        make_mesh(n_devices=n + 1)
+    with pytest.raises(ValueError, match="available"):
+        make_mesh_2d(n, 2)
