@@ -51,8 +51,18 @@ def main(argv=None):
             print(f"  {name}")
         return 0
 
+    def _warn_ignored(kind):
+        ignored = [f for f, v in (("--epochs", args.epochs),
+                                  ("--batch-size", args.batch_size),
+                                  ("--profile-dir", args.profile_dir),
+                                  ("--resume", args.resume)) if v is not None]
+        if ignored:
+            print(f"warning: {kind} runs its own sweep config; "
+                  f"ignoring {', '.join(ignored)}", file=sys.stderr)
+
     if args.name == "memory_speed":
         from .experiments.memory_speed import run_memory_speed
+        _warn_ignored("memory_speed")
         return run_memory_speed(smoke=args.smoke)
 
     spec = get_experiment(args.name)
@@ -60,6 +70,7 @@ def main(argv=None):
 
     if args.name.endswith("timescaling"):
         from .experiments.timescaling import run_timescaling
+        _warn_ignored("timescaling")
         return run_timescaling(args.name, smoke=args.smoke)
 
     overrides = {}

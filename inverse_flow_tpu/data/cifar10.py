@@ -69,5 +69,6 @@ def load_data(data_aug=True, batch_size=100, seed=0, synthetic_ok=True,
                           random_flip_lr)
     return (ArrayLoader(train_all[:train_split], batch_size, shuffle=True,
                         seed=seed, augment=augment),
-            ArrayLoader(train_all[train_split:], batch_size),
-            ArrayLoader(test, batch_size))
+            ArrayLoader(train_all[train_split:], batch_size,
+                        drop_last=False),
+            ArrayLoader(test, batch_size, drop_last=False))

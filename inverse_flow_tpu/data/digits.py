@@ -42,7 +42,11 @@ def load_data(batch_size=100, seed=0, train_split=1437, **kwargs):
     """(train, val, test) loaders; 1437/180/180 split like the reference's
     MNIST 50k/10k/10k proportioning (``inf/datasets/mnist.py:22-23``)."""
     train_all, test = load_arrays()
+    # val/test keep the final partial batch (drop_last=False): with the
+    # 180-sample splits and batch_size=100, drop_last would silently
+    # evaluate only the first 100 fixed samples
     return (ArrayLoader(train_all[:train_split], batch_size, shuffle=True,
                         seed=seed),
-            ArrayLoader(train_all[train_split:], batch_size, shuffle=False),
-            ArrayLoader(test, batch_size, shuffle=False))
+            ArrayLoader(train_all[train_split:], batch_size, shuffle=False,
+                        drop_last=False),
+            ArrayLoader(test, batch_size, shuffle=False, drop_last=False))

@@ -56,5 +56,5 @@ def load_data(batch_size=100, path="galaxy64.pkl", seed=0, **_):
         return np.transpose(a, (0, 3, 1, 2)).astype(np.float32)
 
     return (ArrayLoader(to_nchw(train), batch_size, shuffle=True, seed=seed),
-            ArrayLoader(to_nchw(val), batch_size),
-            ArrayLoader(to_nchw(test), batch_size))
+            ArrayLoader(to_nchw(val), batch_size, drop_last=False),
+            ArrayLoader(to_nchw(test), batch_size, drop_last=False))

@@ -34,7 +34,10 @@ def _load_shards(pattern, size):
     data = np.concatenate(parts)
     if data.ndim == 2:
         data = data.reshape(-1, 3, size, size)
-    return data.astype(np.float32)
+    # keep the source dtype (uint8 for the standard shards): a float32
+    # conversion here would 4x the ~4 GB train array before the split
+    # copies, and the loader converts per batch anyway
+    return data
 
 
 def load_data(size=32, batch_size=100, seed=0, val_split=20_000,
@@ -51,11 +54,14 @@ def load_data(size=32, batch_size=100, seed=0, val_split=20_000,
         return synth((3, size, size), n_train=2000, n_val=500, n_test=500,
                      batch_size=batch_size, seed=seed)
 
-    # random 20k val split from train (imagenet.py:78-84)
+    # random 20k val split from train (imagenet.py:78-84), on the raw
+    # (uint8) array; drop the unsplit copy before building loaders so
+    # host peak stays ~2x the dataset, not ~8x
     rng = np.random.RandomState(seed)
     idx = rng.permutation(train.shape[0])
     val = train[idx[:val_split]]
     tr = train[idx[val_split:]]
+    del train
     return (ArrayLoader(tr, batch_size, shuffle=True, seed=seed),
-            ArrayLoader(val, batch_size),
-            ArrayLoader(test, batch_size))
+            ArrayLoader(val, batch_size, drop_last=False),
+            ArrayLoader(test, batch_size, drop_last=False))

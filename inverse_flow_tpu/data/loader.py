@@ -43,15 +43,38 @@ class ArrayLoader:
     def _maybe_init_prefetch(self, forced: bool):
         from .. import native
         d = self.data
+        # Lossless-uint8 check over the FULL array (a sampled integrality
+        # probe once let fractional float data through and the uint8 cast
+        # silently truncated it): every value must be integral in [0, 255].
         is_u8 = (d.dtype == np.uint8
                  or (np.issubdtype(d.dtype, np.floating)
                      and d.size and float(d.min()) >= 0
                      and float(d.max()) <= 255
-                     and np.all(d[:2] == np.floor(d[:2]))))
+                     and np.array_equal(d, np.floor(d))))
+        if forced and not is_u8:
+            raise ValueError(
+                "native_prefetch=True requires losslessly uint8-"
+                "convertible data (integral values in [0, 255]); the "
+                "uint8 cast would truncate/wrap this array")
+        # the C++ worker assembles full batches only; n < batch_size would
+        # index past the shuffle order (and the python fallback's clamped
+        # single short batch could never be reproduced)
+        if d.shape[0] < self.batch_size:
+            if forced:
+                raise ValueError(
+                    f"native_prefetch=True needs at least one full batch "
+                    f"({d.shape[0]} samples < batch_size="
+                    f"{self.batch_size})")
+            return
+        if forced and not self.drop_last and d.shape[0] % self.batch_size:
+            raise ValueError(
+                "native_prefetch=True drops the final partial batch, "
+                "contradicting drop_last=False for this data size")
         if not ((self.shuffle and self.drop_last and is_u8) or forced):
             return
         if not native.available():
-            assert not forced, "native prefetcher unavailable"
+            if forced:
+                raise RuntimeError("native prefetcher unavailable")
             return
         self._prefetcher = native.NativePrefetcher(
             d.astype(np.uint8, copy=False), self.batch_size,

@@ -88,5 +88,6 @@ def load_data(data_aug=False, batch_size=100, seed=0, synthetic_ok=True,
         augment = pad_translate_crop(1, mode="reflect")
     return (ArrayLoader(train_all[:train_split], batch_size, shuffle=True,
                         seed=seed, augment=augment),
-            ArrayLoader(train_all[train_split:], batch_size),
-            ArrayLoader(test, batch_size))
+            ArrayLoader(train_all[train_split:], batch_size,
+                        drop_last=False),
+            ArrayLoader(test, batch_size, drop_last=False))

@@ -39,5 +39,5 @@ def load_arrays():
 def load_data(batch_size=100, seed=0, **kwargs):
     train, val, test = load_arrays()
     return (ArrayLoader(train, batch_size, shuffle=True, seed=seed),
-            ArrayLoader(val, batch_size, shuffle=False),
-            ArrayLoader(test, batch_size, shuffle=False))
+            ArrayLoader(val, batch_size, shuffle=False, drop_last=False),
+            ArrayLoader(test, batch_size, shuffle=False, drop_last=False))

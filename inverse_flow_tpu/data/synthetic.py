@@ -38,5 +38,5 @@ def load_data(shape=(1, 28, 28), n_train=2000, n_val=500, n_test=500,
     val = smooth_images(n_val, shape, seed=seed + 1)
     test = smooth_images(n_test, shape, seed=seed + 2)
     return (ArrayLoader(train, batch_size, shuffle=True, seed=seed),
-            ArrayLoader(val, batch_size),
-            ArrayLoader(test, batch_size))
+            ArrayLoader(val, batch_size, drop_last=False),
+            ArrayLoader(test, batch_size, drop_last=False))

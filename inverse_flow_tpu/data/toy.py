@@ -102,5 +102,7 @@ def load_data(name="8gaussians", n_train=50_000, n_val=5_000, n_test=5_000,
     from .loader import ArrayLoader
     return (ArrayLoader(sample_toy(name, n_train, seed), batch_size,
                         shuffle=True, seed=seed),
-            ArrayLoader(sample_toy(name, n_val, seed + 1), batch_size),
-            ArrayLoader(sample_toy(name, n_test, seed + 2), batch_size))
+            ArrayLoader(sample_toy(name, n_val, seed + 1), batch_size,
+                        drop_last=False),
+            ArrayLoader(sample_toy(name, n_test, seed + 2), batch_size,
+                        drop_last=False))

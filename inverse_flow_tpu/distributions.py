@@ -129,10 +129,17 @@ class DiagonalGaussianPrior:
         return jnp.sum(per, axis=-1)
 
     def nll(self, x):
-        return -self.log_prob(x)
+        """Negative log-likelihood summed over the batch (loss form) —
+        the same convention as :class:`GaussianPrior`, so the two priors
+        are drop-in interchangeable in loss code."""
+        return -jnp.sum(self.log_prob(x))
 
     def sample(self, rng, n):
         eps = jax.random.normal(rng, (n, self.dim))
         x = (self.mean + eps * jnp.exp(self.log_std)).reshape(
             (n,) + self.size)
-        return x, self.log_prob(x)
+        # log-prob of the RETURNED sample, computed from eps directly:
+        # routing through log_prob would clean/clip x first and report a
+        # density for a different point whenever mass sits beyond `clip`
+        per = -0.5 * eps ** 2 - self.log_std - 0.5 * _LOG_2PI
+        return x, jnp.sum(per, axis=-1)

@@ -107,6 +107,10 @@ class NativePrefetcher:
         self._lib = lib
         self._data = np.ascontiguousarray(data, dtype=np.uint8)
         n = self._data.shape[0]
+        if n < batch_size:
+            raise ValueError(
+                f"NativePrefetcher: {n} samples < batch_size={batch_size} "
+                f"(the worker assembles full batches only)")
         self.item_shape = self._data.shape[1:]
         item_bytes = int(np.prod(self.item_shape))
         self.batch_size = batch_size

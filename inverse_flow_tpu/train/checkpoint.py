@@ -97,13 +97,31 @@ def _load_orbax(path, config_dict, log, state_like):
     return state, extra["summary"]
 
 
+def _json_value(v):
+    if isinstance(v, (str, bool, int, float)) or v is None:
+        return v
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, (np.floating, np.bool_)):
+        return float(v)
+    if isinstance(v, (list, tuple)):
+        # element-wise: a list of numpy scalars is not json-serializable
+        return [_json_value(x) for x in v]
+    if isinstance(v, dict):
+        return {str(k): _json_value(x) for k, x in v.items()}
+    if isinstance(v, np.ndarray) or hasattr(v, "__array__"):
+        a = np.asarray(v)
+        if a.ndim == 0:
+            return (float(a) if np.issubdtype(a.dtype, np.number)
+                    else str(a))
+        return _json_value(a.tolist())
+    # np.ndim(v)==0 holds for ANY non-array object (Path, dataclass...),
+    # so anything non-numeric must fall through to str, not float()
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return str(v)
+
+
 def _jsonable(d):
-    out = {}
-    for k, v in d.items():
-        if isinstance(v, (str, int, float, bool)) or v is None:
-            out[k] = v
-        elif isinstance(v, (list, tuple)):
-            out[k] = list(v)
-        else:
-            out[k] = float(np.asarray(v)) if np.ndim(v) == 0 else str(v)
-    return out
+    return {k: _json_value(v) for k, v in d.items()}

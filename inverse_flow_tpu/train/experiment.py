@@ -286,6 +286,11 @@ class Experiment:
         else:
             self._train_step = jax.jit(train_step, donate_argnums=donate)
             self._eval_logpx = jax.jit(eval_logpx_sum)
+        # unsharded fallback for eval batches that don't divide the mesh
+        # (the final partial batch of a drop_last=False val/test loader)
+        self._eval_logpx_local = (jax.jit(eval_logpx_sum)
+                                  if self.mesh is not None
+                                  else self._eval_logpx)
         self._exact_corr = jax.jit(exact_corr)
         self._sample = jax.jit(
             lambda params, rng, exact: flow.sample(
@@ -352,7 +357,10 @@ class Experiment:
                 x = jnp.asarray(x, jnp.float32)
         else:
             x = jnp.asarray(x, jnp.float32)
-        if shard and self.mesh is not None:
+        if (shard and self.mesh is not None
+                and x.shape[0] % self.mesh.size == 0):
+            # a final partial eval batch may not divide the mesh; it
+            # stays unsharded and eval_epoch routes it to the local fn
             from ..parallel.mesh import shard_batch
             x = shard_batch(x, self.mesh)
         return x
@@ -569,8 +577,10 @@ class Experiment:
                 # exact-logdet offset: once per eval epoch (params frozen);
                 # kept on device — readbacks are deferred to one flush
                 corr = self._exact_corr(self.state.params)
-            sums.append(self._eval_logpx(self.state.params, xb,
-                                         self._next_rng()))
+            fn = self._eval_logpx
+            if self.mesh is not None and x.shape[0] % self.mesh.size:
+                fn = self._eval_logpx_local
+            sums.append(fn(self.state.params, xb, self._next_rng()))
             num += x.shape[0]
             if num >= self.cfg.max_eval_ex:
                 break

@@ -35,7 +35,7 @@ class MetricsLogger:
             except Exception as e:
                 print(f"wandb disabled ({e})")
 
-    def log(self, name, value, step=None):
+    def log(self, name, value, step=None, _wandb=True):
         if self.verbose:
             print(f"{name}: {value}")
         if self._fh:
@@ -43,11 +43,18 @@ class MetricsLogger:
             if step is not None:
                 rec["step"] = step
             self._fh.write(json.dumps(rec) + "\n")
-        if self.wandb_run is not None:
-            self.wandb_run.log({name: value})
+        if _wandb and self.wandb_run is not None:
+            # forward the caller's step so differently-cadenced metrics
+            # (train loss vs eval bpd) share one x-axis in wandb
+            if step is not None:
+                self.wandb_run.log({name: value}, step=step)
+            else:
+                self.wandb_run.log({name: value})
 
     def summary(self, name, value):
-        self.log(f"summary/{name}", value)
+        # summary entries go to wandb's summary table only — logging them
+        # to history too would double-record each value
+        self.log(f"summary/{name}", value, _wandb=False)
         if self.wandb_run is not None:
             self.wandb_run.summary[name] = value
 

@@ -28,6 +28,13 @@ class StatsRecorder:
             self.nobservations = data.shape[0]
             return
 
+        if np.shape(self.mean) != data.shape[1:]:
+            # numpy would silently broadcast a mismatched feature dim into
+            # the running stats; the reference raised here too
+            # (statsrecorder.py:28-30)
+            raise ValueError(
+                f"StatsRecorder.update: feature shape {data.shape[1:]} "
+                f"does not match recorded {np.shape(self.mean)}")
         newmean = data.mean(axis=0)
         newstd = data.std(axis=0)
         m = float(self.nobservations)

@@ -53,6 +53,9 @@ struct Prefetcher {
   }
 
   void run() {
+    // n < batch_size would walk order[] out of bounds below; the python
+    // layer rejects this, but never segfault on a bad handle either way
+    if (batches_per_epoch() <= 0) return;
     reshuffle();
     while (!stop.load()) {
       if (cursor >= batches_per_epoch()) {

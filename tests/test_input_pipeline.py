@@ -93,3 +93,86 @@ def test_batch_tile_cap_keeps_sublane_multiple():
                 continue
             steps = -(-b // bt)
             assert bt % 8 == 0 or steps == 1, (b, nb_, bt)
+
+
+def test_loader_small_dataset_never_prefetches():
+    """n < batch_size used to hand the native prefetcher an order[]
+    shorter than one batch (OOB read -> SIGSEGV) or silently yield zero
+    batches; now the prefetcher is skipped and the python fallback's
+    single clamped short batch is produced."""
+    from inverse_flow_tpu.data.loader import ArrayLoader
+
+    data = np.arange(64 * 4, dtype=np.uint8).reshape(64, 1, 2, 2)
+    loader = ArrayLoader(data, batch_size=128, shuffle=True)
+    assert loader._prefetcher is None
+    batches = list(loader)
+    assert len(batches) == len(loader) == 1
+    assert batches[0].shape[0] == 64
+    import pytest
+    with pytest.raises(ValueError, match="full batch"):
+        ArrayLoader(data, batch_size=128, shuffle=True,
+                    native_prefetch=True)
+
+
+def test_loader_fractional_floats_never_prefetch():
+    """The lossless-uint8 gate must inspect the WHOLE array: fractional
+    values past the first two samples used to slip through and truncate
+    (7.5 -> 7); forcing the prefetcher on non-integral data must raise
+    rather than wrap/truncate silently."""
+    import pytest
+
+    from inverse_flow_tpu.data.loader import ArrayLoader
+
+    data = np.zeros((8, 1, 2, 2), np.float32)
+    data[5] = 7.5                       # first two samples stay integral
+    loader = ArrayLoader(data, batch_size=4, shuffle=True, seed=0)
+    assert loader._prefetcher is None
+    vals = np.concatenate([b.ravel() for b in loader])
+    assert 7.5 in vals                  # nothing truncated
+    with pytest.raises(ValueError, match="uint8"):
+        ArrayLoader(np.random.RandomState(0).randn(16, 1, 2, 2)
+                    .astype(np.float32),
+                    batch_size=4, shuffle=True, native_prefetch=True)
+
+
+def test_eval_loaders_cover_all_samples():
+    """drop_last must be off for val/test: the 180-sample digit splits at
+    batch_size=100 used to evaluate only the first 100 samples."""
+    from inverse_flow_tpu.data import digits
+
+    _, val, test = digits.load_data(batch_size=100)
+    for loader in (val, test):
+        n = sum(b.shape[0] for b in loader)
+        assert n == loader.data.shape[0] == 180
+
+
+def test_eval_epoch_counts_partial_batches():
+    """The trainer's eval loop must include the final short batch (and,
+    under a mesh, route a non-divisible one through the unsharded
+    fallback without error)."""
+    flow = build_glow((1, 8, 8), step_kind="inv_conv_no_pad", num_blocks=1,
+                      block_size=1, coupling_width=8, activation="None")
+    loaders = synthetic.load_data((1, 8, 8), n_train=32, n_val=24,
+                                  n_test=24, batch_size=16)
+    cfg = ExperimentConfig(name="partial-eval", epochs=1, batch_size=16,
+                           save_images=False, log_timing=False,
+                           metrics_path="/tmp/pe_m.jsonl",
+                           checkpoint_path="/tmp/pe_c.pkl",
+                           data_parallel=True)
+    exp = Experiment(flow, *loaders, cfg)
+    x = next(iter(exp.val_loader))
+    exp.maybe_data_init(x)
+
+    # 24 = 16 + 8 (8 divides the mesh); the 19-sample loader below forces
+    # a 3-sample remainder through the non-divisible unsharded fallback
+    val = exp.eval_epoch(exp.val_loader)
+    assert np.isfinite(val)
+    total = sum(b.shape[0] for b in exp.val_loader)
+    assert total == 24
+
+    from inverse_flow_tpu.data.loader import ArrayLoader
+    odd = ArrayLoader(exp.val_loader.data[:19], batch_size=16,
+                      drop_last=False)
+    assert [b.shape[0] for b in odd] == [16, 3]
+    val_odd = exp.eval_epoch(odd)
+    assert np.isfinite(val_odd)

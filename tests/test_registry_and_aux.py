@@ -193,3 +193,66 @@ def test_mesh_guards():
         make_mesh(n_devices=n + 1)
     with pytest.raises(ValueError, match="available"):
         make_mesh_2d(n, 2)
+
+
+def test_checkpoint_jsonable_handles_nonnumeric():
+    """_jsonable's fallback used to call float() on ANY 0-d object (dicts,
+    Paths) and keep numpy scalars inside lists — both json.dump killers
+    at the save-on-new-best point."""
+    import json
+    from pathlib import Path
+
+    from inverse_flow_tpu.train.checkpoint import _jsonable
+
+    out = _jsonable({
+        "path": Path("/tmp/x"),
+        "nested": {"a": np.float32(1.5), "b": [np.float64(2.0), 3]},
+        "listed": [np.float32(0.25), np.int64(7)],
+        "arr": np.arange(3, dtype=np.float32),
+        "scalar": np.float32(4.0),
+        "none": None,
+        "s": "keep",
+    })
+    json.dumps(out)                       # must be serializable as-is
+    assert out["listed"] == [0.25, 7]
+    assert out["nested"]["a"] == 1.5
+    assert out["scalar"] == 4.0
+    assert out["arr"] == [0.0, 1.0, 2.0]
+    assert out["path"] == "/tmp/x"
+
+
+def test_stats_recorder_rejects_mismatched_features():
+    import pytest
+
+    from inverse_flow_tpu.train.stats import StatsRecorder
+
+    rec = StatsRecorder(np.random.RandomState(0).randn(10, 3))
+    with pytest.raises(ValueError, match="feature shape"):
+        rec.update(np.random.RandomState(1).randn(5, 1))
+    rec.update(np.random.RandomState(2).randn(5, 3))   # matching is fine
+    assert rec.nobservations == 15
+
+
+def test_diagonal_gaussian_sample_logprob_consistent():
+    """sample() must report the density of the sample it returns — the
+    old path cleaned/clipped x first, so any mass beyond `clip` got a
+    log-prob for a different point; and nll must follow GaussianPrior's
+    batch-summed loss convention."""
+    import jax
+
+    from inverse_flow_tpu.distributions import (DiagonalGaussianPrior,
+                                                GaussianPrior)
+
+    d = DiagonalGaussianPrior((4,), mean=20.0 * np.ones(4))
+    x, lp = d.sample(jax.random.PRNGKey(0), 6)
+    # exact diagonal-normal density at the returned (unclipped) sample
+    z = (np.asarray(x).reshape(6, 4) - 20.0)
+    expect = np.sum(-0.5 * z ** 2 - 0.5 * np.log(2 * np.pi), axis=-1)
+    np.testing.assert_allclose(np.asarray(lp), expect, rtol=1e-4)
+
+    g = GaussianPrior((4,))
+    d0 = DiagonalGaussianPrior((4,))
+    xs = np.random.RandomState(0).randn(5, 4).astype(np.float32)
+    assert np.asarray(d0.nll(xs)).shape == ()
+    np.testing.assert_allclose(float(d0.nll(xs)), float(g.nll(xs)),
+                               rtol=1e-5)
