@@ -87,6 +87,18 @@ class FlowLayer:
         """Exact-inverse path (reference dense Toeplitz inverse)."""
         return self.inverse(params, z)
 
+    @property
+    def has_exact_path(self):
+        """Dispatch gate for ``exact=True`` flows: True when the layer's
+        exact_forward/exact_inverse differ from the cheap pair. Covers
+        modified-grad layers AND mode-dependent layers whose eval path
+        merely refines the cheap one (ConvExp's 13-term eval series,
+        ``convexp_module.py:46-47``) without any gradient modification."""
+        cls = type(self)
+        return (self.has_modified_grad
+                or cls.exact_forward is not FlowLayer.exact_forward
+                or cls.exact_inverse is not FlowLayer.exact_inverse)
+
     # --- optional hooks -------------------------------------------------
     def prepare(self, params, shape):
         """Optional params-only per-step precomputation (e.g. the

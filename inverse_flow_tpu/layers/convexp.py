@@ -121,15 +121,27 @@ class ConvExp(FlowLayer):
         return spectral_normalize(params["kernel"], params["u"],
                                   self.input_size, self.coeff)[2]
 
-    def forward(self, params, x, rng=None):
+    def _series_forward(self, params, x, terms):
         h, w = x.shape[2], x.shape[3]
         kernel = self._kernel(params)
         x = x + params["pre_bias"]
         x, ldj = self.conv1x1.forward(params["conv1x1"], x)
-        z = conv_exp(x, kernel, self.n_terms_train)
+        z = conv_exp(x, kernel, terms)
         ldj = ldj + conv_exp_logdet(kernel, h, w)
         z = z + params["post_bias"]
         return z, ldj
+
+    def forward(self, params, x, rng=None):
+        return self._series_forward(params, x, self.n_terms_train)
+
+    def exact_forward(self, params, x):
+        """Eval-mode series: 13 terms instead of 6 (the reference switches
+        on ``self.training``, ``convexp_module.py:46-47``). The ldj (trace
+        formula) is identical; only the value tail differs, bounded by
+        coeff^(t+1)/(t+1)! ~ 1e-4 at coeff=0.9 — so the amortized
+        cheap-pass eval stays a valid approximation while explicit
+        ``exact=True`` flows get the reference's eval-mode values."""
+        return self._series_forward(params, x, self.n_terms_eval)
 
     def inverse(self, params, z, rng=None):
         kernel = self._kernel(params)

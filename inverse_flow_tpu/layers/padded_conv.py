@@ -106,13 +106,8 @@ class FincFlowUnit(FlowLayer):
             out.append(jnp.flip(chunk, ax) if ax else chunk)
         return jnp.concatenate(out, axis=1)
 
-    def _uncanonical(self, x):
-        chunks = jnp.split(x, 4, axis=1)
-        out = []
-        for chunk, order in zip(chunks, ORDERS):
-            ax = _flip_axes(order)
-            out.append(jnp.flip(chunk, ax) if ax else chunk)
-        return jnp.concatenate(out, axis=1)
+    # the four flips are involutions, so canonicalization is its own inverse
+    _uncanonical = _canonical
 
     def _w_eff(self, params):
         return jnp.concatenate([apply_mask(w) for w in params["ws"]], axis=0)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 
 from ..distributions import UniformDistribution
@@ -95,9 +96,9 @@ class SigmoidTransform(FlowLayer):
         return jnp.log(z) - jnp.log1p(-z)
 
 
-def jax_sigmoid(x):
-    return 1.0 / (1.0 + jnp.exp(-x))
-
-
-def log_sigmoid(x):
-    return -jnp.logaddexp(0.0, -x)
+# jax.nn.sigmoid is the numerically stable form: the naive
+# 1/(1+exp(-x)) overflows for x < ~-88 in float32, and although the
+# primal clamps to 0 the VJP then computes 0 * inf = NaN, poisoning the
+# whole training step through an unbounded pre-activation.
+jax_sigmoid = jax.nn.sigmoid
+log_sigmoid = jax.nn.log_sigmoid

@@ -62,7 +62,7 @@ class RepeatedBlock(FlowLayer):
         ldj = zeros_ldj(x)
         auxes = aux if aux is not None else [None] * len(self.step_layers)
         for layer, p, a in zip(self.step_layers, step_params, auxes):
-            if exact and layer.has_modified_grad:
+            if exact and layer.has_exact_path:
                 x, l = layer.exact_forward(p, x)
             elif a is not None:
                 x, l = layer.forward_prepared(p, a, x)
@@ -89,7 +89,7 @@ class RepeatedBlock(FlowLayer):
     def _step_inverse(self, step_params, z, exact=False):
         for layer, p in zip(reversed(self.step_layers),
                             reversed(step_params)):
-            if exact and layer.has_modified_grad:
+            if exact and layer.has_exact_path:
                 z = layer.exact_inverse(p, z)
             else:
                 z = layer.inverse(p, z)
@@ -248,3 +248,10 @@ class RepeatedBlock(FlowLayer):
         advertise its sublayers' flag.
         """
         return any(l.has_modified_grad for l in self.step_layers)
+
+    @property
+    def has_exact_path(self):
+        """Aggregated like :meth:`has_modified_grad` — the block's own
+        exact_forward/exact_inverse overrides are pure plumbing, so the
+        gate must reflect the sublayers, not the override presence."""
+        return any(l.has_exact_path for l in self.step_layers)

@@ -81,18 +81,36 @@ def _sn_bwd(stride, padding, res, g):
 selfnorm_conv2d.defvjp(_sn_fwd, _sn_bwd)
 
 
-def _dirac_noise_init(rng, w_shape, gain=0.01):
-    """dirac + xavier noise (``selfnorm.py:132-149``); square channel case
-    gets identity at the spatial center, FC case embeds the square identity
-    (``selfnorm.py:285-298``)."""
+def _xavier_std(w_shape, gain=0.01):
     c_out, c_in, kh, kw = w_shape
     fan_in = c_in * kh * kw
     fan_out = c_out * kh * kw
-    std = gain * (2.0 / (fan_in + fan_out)) ** 0.5
-    w = std * jax.random.normal(rng, w_shape, jnp.float32)
+    return gain * (2.0 / (fan_in + fan_out)) ** 0.5
+
+
+def _dirac_noise_init(rng, w_shape, gain=0.01):
+    """dirac + xavier noise for spatial kernels (``selfnorm.py:135-145``,
+    else-branch): identity added at the spatial center of the square
+    channel block."""
+    c_out, c_in, kh, kw = w_shape
+    w = _xavier_std(w_shape, gain) * jax.random.normal(
+        rng, w_shape, jnp.float32)
     sq = min(c_out, c_in)
     eye = jnp.eye(sq, dtype=jnp.float32)
     return w.at[:sq, :sq, kh // 2, kw // 2].add(eye)
+
+
+def _orthogonal_1x1_init(rng, w_shape):
+    """Random-orthogonal init for 1x1 kernels (``selfnorm.py:139-143``):
+    Q from the reduced QR of a Gaussian (c_out, c_in) matrix, so the SNF
+    layer playing Glow's invertible-1x1 role starts as a random rotation
+    rather than ~identity. Requires c_out >= c_in (reduced Q is
+    (c_out, c_out) otherwise — the reference's ``.view`` would fail the
+    same way)."""
+    c_out, c_in = w_shape[:2]
+    a = jax.random.normal(rng, (c_out, c_in), jnp.float32)
+    q = jnp.linalg.qr(a)[0]
+    return q.reshape(w_shape).astype(jnp.float32)
 
 
 @dataclass(frozen=True)
@@ -108,16 +126,18 @@ class SelfNormConv(FlowLayer):
     has_recon_loss = True
 
     def init(self, rng, shape):
-        k1, k2, k3 = jax.random.split(rng, 3)
+        k1, k2 = jax.random.split(rng)
         w_shape = (self.out_channels, self.in_channels, *self.kernel_size)
-        w = _dirac_noise_init(k1, w_shape)
+        if (self.kernel_size == (1, 1)
+                and self.out_channels >= self.in_channels):
+            # 1x1 branch: random orthogonal (selfnorm.py:139-143)
+            w = _orthogonal_1x1_init(k1, w_shape)
+        else:
+            w = _dirac_noise_init(k1, w_shape)
         params = {"w": w, "r": flip_kernel(w)}
         if self.bias:
-            fan_in = self.in_channels * self.kernel_size[0] * self.kernel_size[1]
-            fan_out = self.out_channels * self.kernel_size[0] * self.kernel_size[1]
-            std = 0.01 * (2.0 / (fan_in + fan_out)) ** 0.5
-            params["b"] = std * jax.random.normal(
-                k3, (self.out_channels,), jnp.float32)
+            params["b"] = _xavier_std(w_shape) * jax.random.normal(
+                k2, (self.out_channels,), jnp.float32)
         if len(shape) == 3:
             c, h, w_ = shape
             oh = (h + 2 * self.padding - self.kernel_size[0]) // self.stride + 1
@@ -148,15 +168,21 @@ class SelfNormConv(FlowLayer):
         return z, jnp.broadcast_to(ld, (x.shape[0],)).astype(jnp.float32)
 
     def exact_inverse(self, params, z):
+        if self.stride != 1:
+            raise NotImplementedError(
+                "SelfNormConv.exact_inverse supports stride=1 only: a "
+                "strided conv's dense operator is not square, so the "
+                "dense solve (selfnorm.py:175-180) has no inverse to "
+                "compute. Use the approximate inverse() instead.")
         if "b" in params:
             z = z - params["b"].reshape(1, -1, 1, 1)
-        in_shape = (self.in_channels, z.shape[2] * self.stride,
-                    z.shape[3] * self.stride) if self.padding == 0 and \
-            self.kernel_size == (1, 1) else None
-        if in_shape is None:
-            # same-shape convs (stride 1): in spatial == out spatial
-            in_shape = (self.in_channels, z.shape[2], z.shape[3])
-        return conv_exact_inverse(z, params["w"], in_shape, self.stride,
+        kh, kw = self.kernel_size
+        # stride-1 output->input spatial map: h = oh + kh - 1 - 2*pad
+        # (covers same-shape 3x3/pad1, valid 3x3/pad0, and 1x1/pad0)
+        in_shape = (self.in_channels,
+                    z.shape[2] + kh - 1 - 2 * self.padding,
+                    z.shape[3] + kw - 1 - 2 * self.padding)
+        return conv_exact_inverse(z, params["w"], in_shape, 1,
                                   self.padding)
 
     def exact_ldj_correction(self, params, in_shape):
@@ -187,7 +213,19 @@ class SelfNormFC(SelfNormConv):
     kernel_size: Tuple[int, int] = (1, 1)
 
     def init(self, rng, shape):
-        params, _ = super().init(rng, (self.in_channels, 1, 1))
+        """FC init (``selfnorm.py:285-302``) differs from the conv 1x1
+        branch: the square channel block is SET to the exact identity
+        inside xavier noise (no QR, no noise added on the diagonal)."""
+        k1, k2 = jax.random.split(rng)
+        w_shape = (self.out_channels, self.in_channels, 1, 1)
+        w = _xavier_std(w_shape) * jax.random.normal(
+            k1, w_shape, jnp.float32)
+        sq = min(self.out_channels, self.in_channels)
+        w = w.at[:sq, :sq, 0, 0].set(jnp.eye(sq, dtype=jnp.float32))
+        params = {"w": w, "r": flip_kernel(w)}
+        if self.bias:
+            params["b"] = _xavier_std(w_shape) * jax.random.normal(
+                k2, (self.out_channels,), jnp.float32)
         return params, (self.out_channels,)
 
     def _to4d(self, x, c):

@@ -57,7 +57,7 @@ class Flow:
         rngs = self._layer_rngs(rng)
         logdet = jnp.zeros((x.shape[0],), jnp.float32)
         for layer, p, r in zip(self.layers, params, rngs):
-            if exact and layer.has_modified_grad:
+            if exact and layer.has_exact_path:
                 x, ldj = layer.exact_forward(p, x)
             else:
                 x, ldj = layer.forward(p, x, rng=r)
@@ -95,6 +95,11 @@ class Flow:
         differs, and that part is data-independent). Evaluating this ONCE
         per eval epoch replaces the reference's per-batch dense slogdets
         (dirty-flag cache semantics, ``selfnorm.py:241-246``).
+
+        ConvExp is the one exact-path layer whose VALUES differ (13- vs
+        6-term series); it contributes no correction, so with ConvExp in
+        the flow the identity holds up to the series tail
+        (~coeff^7/7! ≈ 1e-4 per layer at coeff=0.9).
         """
         corr = jnp.zeros((), jnp.float32)
         shape = tuple(input_shape)
@@ -117,7 +122,7 @@ class Flow:
         rngs = self._layer_rngs(rng, salt=1)
         for layer, p, r in zip(reversed(self.layers),
                                reversed(params), reversed(rngs)):
-            if exact and layer.has_modified_grad:
+            if exact and layer.has_exact_path:
                 z = layer.exact_inverse(p, z)
             else:
                 z = layer.inverse(p, z, rng=r)
@@ -127,13 +132,13 @@ class Flow:
         """Forward then inverse (``flowsequential.py:116-137``)."""
         rngs = self._layer_rngs(rng, salt=2)
         for layer, p, r in zip(self.layers, params, rngs):
-            if exact and layer.has_modified_grad:
+            if exact and layer.has_exact_path:
                 x, _ = layer.exact_forward(p, x)
             else:
                 x, _ = layer.forward(p, x, rng=r)
         for layer, p, r in zip(reversed(self.layers),
                                reversed(params), reversed(rngs)):
-            if exact and layer.has_modified_grad:
+            if exact and layer.has_exact_path:
                 x = layer.exact_inverse(p, x)
             else:
                 x = layer.inverse(p, x, rng=r)

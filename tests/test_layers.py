@@ -362,3 +362,21 @@ def test_inv_flow_unit_jacobi_solver():
     g = jax.grad(lambda p: jnp.sum(jac.forward(p, x)[0] ** 2))(params)
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_logit_sigmoid_extreme_inputs_finite_grads():
+    """The naive 1/(1+exp(-x)) overflows below x~-88 in f32 and its VJP
+    then yields 0*inf = NaN; the stable jax.nn forms must keep gradients
+    finite at any pre-activation magnitude."""
+    from inverse_flow_tpu.layers import LogitTransform, SigmoidTransform
+    x = jnp.array([[-120.0, -1.0, 0.0, 1.0, 120.0]], jnp.float32)
+    sig = SigmoidTransform()
+
+    def loss(v):
+        z, ldj = sig.forward({}, v)
+        return jnp.sum(z) + jnp.sum(ldj)
+
+    g = jax.grad(loss)(x)
+    assert np.isfinite(np.asarray(g)).all()
+    lg = jax.grad(lambda v: jnp.sum(LogitTransform().inverse({}, v)))(x)
+    assert np.isfinite(np.asarray(lg)).all()

@@ -248,3 +248,70 @@ def test_repeated_recon_detach_matches_unrolled():
                     jax.tree_util.tree_leaves(g_unr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# round-5 layer-library review regressions
+# ---------------------------------------------------------------------------
+
+def test_selfnorm_1x1_init_is_orthogonal():
+    """Reference ``selfnorm.py:139-143``: 1x1 kernels init to a random
+    orthogonal matrix (the Glow channel-mixing role), not ~identity."""
+    layer = SelfNormConv(8, 8, (1, 1), bias=False)
+    params, _ = layer.init(jax.random.PRNGKey(0), (8, 4, 4))
+    w = np.asarray(params["w"])[:, :, 0, 0]
+    np.testing.assert_allclose(w.T @ w, np.eye(8), atol=1e-5)
+    assert np.abs(w - np.eye(8)).max() > 0.1   # a real rotation, not dirac
+    # the twin R = flip_kernel(W) = W^T is then the EXACT inverse at init
+    r = np.asarray(params["r"])[:, :, 0, 0]
+    np.testing.assert_allclose(r, w.T, atol=0)
+
+
+def test_selfnorm_3x3_init_stays_dirac_noise():
+    layer = SelfNormConv(4, 4, (3, 3), bias=False, padding=1)
+    params, _ = layer.init(jax.random.PRNGKey(0), (4, 6, 6))
+    center = np.asarray(params["w"])[:, :, 1, 1]
+    np.testing.assert_allclose(center, np.eye(4), atol=0.05)
+
+
+def test_selfnorm_fc_init_embeds_exact_identity():
+    """Reference FC init (``selfnorm.py:289-296``) SETs the square channel
+    block to the exact identity inside xavier noise (no QR, no noise on
+    the embedded block)."""
+    layer = SelfNormFC(6, 8, bias=False)
+    params, _ = layer.init(jax.random.PRNGKey(0), (6,))
+    w = np.asarray(params["w"])[:, :, 0, 0]
+    np.testing.assert_allclose(w[:6, :6], np.eye(6), atol=0)
+    assert np.abs(w[6:, :]).max() > 0          # noise outside the block
+
+
+def test_selfnorm_exact_inverse_stride_guard():
+    layer = SelfNormConv(2, 2, (3, 3), bias=False, padding=1, stride=2)
+    params, _ = layer.init(jax.random.PRNGKey(0), (2, 6, 6))
+    z = jnp.zeros((1, 2, 3, 3), jnp.float32)
+    with pytest.raises(NotImplementedError):
+        layer.exact_inverse(params, z)
+
+
+def test_convexp_exact_forward_is_eval_series():
+    """``exact_forward`` runs the 13-term eval series (the reference
+    switches on ``self.training``, ``convexp_module.py:46-47``); the ldj
+    (trace formula) is term-count independent and the 13/13 round trip is
+    far tighter than 6-term forward / 13-term inverse."""
+    layer, params, x, _ = _make(ConvExp((4, 8, 8)), seed=27)
+    # push the kernel up to the spectral constraint so the series tails
+    # are well above f32 round-off
+    params = dict(params, kernel=params["kernel"] * 50.0)
+    params = layer.data_init(params, x)
+    z6, ldj6 = layer.forward(params, x)
+    z13, ldj13 = layer.exact_forward(params, x)
+    np.testing.assert_allclose(np.asarray(ldj6), np.asarray(ldj13),
+                               rtol=1e-6)
+    assert np.abs(np.asarray(z6 - z13)).max() > 1e-6
+    err6 = np.abs(np.asarray(layer.inverse(params, z6) - x)).max()
+    err13 = np.abs(np.asarray(layer.inverse(params, z13) - x)).max()
+    # err13 bottoms out at the f32 round-off floor (~5e-7), so assert a
+    # clear improvement rather than the analytic tail ratio
+    assert err13 < err6 / 2
+    # dispatch gate: exact path without a modified gradient
+    assert layer.has_exact_path and not layer.has_modified_grad
