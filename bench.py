@@ -194,6 +194,24 @@ def _make_sample_scan(flow, params):
     return make_program
 
 
+# Per-generation nominal bf16 MXU peaks (TFLOP/s per chip).
+PEAK_TFLOPS_BY_KIND = {"TPU v5 lite": 197.0, "TPU v5": 459.0,
+                       "TPU v4": 275.0, "TPU v6 lite": 918.0}
+
+# Reference session rates for drift normalization: the matmul-chain
+# TFLOP/s measured in the session that produced the adopted-defaults
+# numbers (results/true_step_time.jsonl). Anchors are per device kind —
+# normalizing a v4/v6e run against the v5e session would be meaningless,
+# so kinds without an anchor publish raw-only.
+CALIB_ANCHOR_TFLOPS = {"TPU v5 lite": 190.71}
+
+
+def _device_peak_tflops():
+    import jax
+    kind = getattr(jax.devices()[0], "device_kind", "")
+    return kind, PEAK_TFLOPS_BY_KIND.get(kind)
+
+
 def bench_config(name, build, sample_latency=True, trials=3):
     import jax
 
@@ -201,6 +219,21 @@ def bench_config(name, build, sample_latency=True, trials=3):
     k1, k2 = _K_PAIRS.get(name, _K_DEFAULT)
     make_train, cost_parts = _make_train_scan(flow, size, batch)
     step_ms, slopes, compile_s = slope_time(make_train, k1, k2, trials)
+    if step_ms <= 0:
+        # Host contention can invert the K arms (observed: a calibration
+        # co-run once read a NEGATIVE slope); a non-positive median slope
+        # means the measurement failed — publish that honestly instead of
+        # negative samples/sec / MFU or a divide-by-zero.
+        return {"config": name, "train_step_ms": None,
+                "train_step_ms_slopes": [round(s, 3) for s in slopes],
+                "slope_invalid": True,
+                "error": "non-positive median slope (K arms inverted "
+                         "under host contention); re-run on a quieter "
+                         "host",
+                "methodology": "slope(scan-K in-program, value-read "
+                               "synced)",
+                "scan_k": [k1, k2], "compile_s": compile_s,
+                "device": str(jax.devices()[0])}
 
     sample_ms = None
     if sample_latency:
@@ -230,9 +263,7 @@ def bench_config(name, build, sample_latency=True, trials=3):
         step_flops = float(ca.get("flops", 0.0)) or None
     except Exception:
         pass
-    dev_kind = getattr(jax.devices()[0], "device_kind", "")
-    peak_tflops = {"TPU v5 lite": 197.0, "TPU v5": 459.0,
-                   "TPU v4": 275.0, "TPU v6 lite": 918.0}.get(dev_kind)
+    _, peak_tflops = _device_peak_tflops()
     achieved = (step_flops / (step_ms * 1e-3) / 1e12 if step_flops else None)
     mfu = (100.0 * achieved / peak_tflops
            if achieved and peak_tflops else None)
@@ -250,7 +281,8 @@ def bench_config(name, build, sample_latency=True, trials=3):
         "train_step_ms": round(step_ms, 3),
         "train_step_ms_slopes": [round(s, 3) for s in slopes],
         "sample_latency_ms_per_image": (round(sample_ms, 3)
-                                        if sample_ms else None),
+                                        if sample_ms and sample_ms > 0
+                                        else None),
         "batch_size": batch,
         "samples_per_sec_per_chip": round(batch / (step_ms * 1e-3), 1),
         "train_step_gflops": (round(step_flops / 1e9, 3)
@@ -287,9 +319,13 @@ def validate_barrier():
         return lambda seed: run_K(a * (1.0 + seed * 1e-6), b)
 
     ms, slopes, _ = slope_time(make_program, 8, 40, trials=3)
-    tflops = 2.0 * n ** 3 / (ms * 1e-3) / 1e12
+    # a non-positive slope is itself the signal the plausibility gate
+    # exists for — propagate it rather than dividing by it
+    tflops = (2.0 * n ** 3 / (ms * 1e-3) / 1e12) if ms > 0 else -1.0
+    _, peak = _device_peak_tflops()
     return {"matmul_chain_ms": round(ms, 4), "tflops": round(tflops, 1),
-            "pct_of_bf16_peak": round(100 * tflops / 197.0, 1)}
+            "pct_of_bf16_peak": (round(100 * tflops / peak, 1)
+                                 if peak else None)}
 
 
 def main():
@@ -357,6 +393,13 @@ def main():
     calib = validate_barrier()
     row = bench_config("glow_mnist", CONFIGS["glow_mnist"])
     calib_post = validate_barrier()
+    if row.get("train_step_ms") is None:
+        print(json.dumps({
+            "metric": "glow_mnist_train_step", "value": None,
+            "unit": "ms/batch", "vs_baseline": None,
+            "error": row.get("error", "slope measurement failed"),
+            "extra": row}), flush=True)
+        return
     baseline_ms = None
     try:
         with open("BASELINE.json") as f:
@@ -389,20 +432,28 @@ def main():
     # reading is out of band, the session's co-run demonstrably failed
     # at least once, so the surviving reading cannot be trusted to
     # normalize either — publish raw-only with the implausible flag.
+    dev_kind, peak = _device_peak_tflops()
+    anchor = CALIB_ANCHOR_TFLOPS.get(dev_kind)
     both = [calib["tflops"], calib_post["tflops"]]
-    plausible = [t for t in both if 0.5 * 190.71 <= t <= 1.1 * 197.0]
-    if len(plausible) == 2:
-        mean_t = sum(plausible) / len(plausible)
-        result["extra"]["value_norm_ms"] = round(
-            row["train_step_ms"] * mean_t / 190.71, 3)
-        if max(both) / min(both) > 1.10:
-            # in-session drift: the normalization itself is only good
-            # to the pre/post spread — surface it
-            result["extra"]["calib_drift_pct"] = round(
-                100 * (max(both) / min(both) - 1), 1)
-    else:
+    if anchor is None or peak is None:
+        # no reference session rate exists for this device generation —
+        # normalizing against the v5e anchor would be meaningless
         result["extra"]["value_norm_ms"] = None
-        result["extra"]["calib_implausible"] = True
+        result["extra"]["calib_no_anchor_for_device"] = dev_kind or "?"
+    else:
+        plausible = [t for t in both if 0.5 * anchor <= t <= 1.1 * peak]
+        if len(plausible) == 2:
+            mean_t = sum(plausible) / len(plausible)
+            result["extra"]["value_norm_ms"] = round(
+                row["train_step_ms"] * mean_t / anchor, 3)
+            if max(both) / min(both) > 1.10:
+                # in-session drift: the normalization itself is only good
+                # to the pre/post spread — surface it
+                result["extra"]["calib_drift_pct"] = round(
+                    100 * (max(both) / min(both) - 1), 1)
+        else:
+            result["extra"]["value_norm_ms"] = None
+            result["extra"]["calib_implausible"] = True
     result["extra"]["note"] = (
         "slope-method device time; rounds 1-2 reported 0.65 ms for this "
         "metric through a barrier that measured tunnel enqueue rate, not "

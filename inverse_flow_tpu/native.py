@@ -51,6 +51,7 @@ def _load():
     lib.ift_prefetch_create.argtypes = [p8, i64, i64, i64, ctypes.c_int,
                                         u64, i64]
     lib.ift_prefetch_next.argtypes = [pv, p8]
+    lib.ift_prefetch_next.restype = ctypes.c_int
     lib.ift_prefetch_batches_per_epoch.argtypes = [pv]
     lib.ift_prefetch_batches_per_epoch.restype = i64
     lib.ift_prefetch_destroy.argtypes = [pv]
@@ -122,8 +123,12 @@ class NativePrefetcher:
 
     def next(self) -> np.ndarray:
         out = np.empty((self.batch_size,) + tuple(self.item_shape), np.uint8)
-        self._lib.ift_prefetch_next(
+        rc = self._lib.ift_prefetch_next(
             self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if rc != 0:
+            raise RuntimeError(
+                "NativePrefetcher: the worker thread exited with no batch "
+                "available (stopped or invalid geometry)")
         return out
 
     def close(self):

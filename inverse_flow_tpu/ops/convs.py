@@ -11,7 +11,7 @@ extension is needed.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple, Union
+from typing import Tuple
 
 import jax.numpy as jnp
 from jax import lax
@@ -111,8 +111,6 @@ def conv2d_weight_grad(g, x, w_shape, stride=1, padding=0, dilation=1,
     dilation = _pair(dilation)
     if groups != 1:
         # Split into per-group standard weight grads.
-        b, cout, oh, ow = g.shape
-        cin = x.shape[1]
         gs = jnp.split(g, groups, axis=1)
         xs = jnp.split(x, groups, axis=1)
         parts = [

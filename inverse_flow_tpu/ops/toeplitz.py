@@ -12,7 +12,6 @@ materialization is acceptable (the reference densifies too before
 from __future__ import annotations
 
 import jax.numpy as jnp
-from jax import lax
 
 from .convs import conv2d
 

@@ -53,7 +53,7 @@ def save_image_grid(x, path, nrow=10, padding=2):
     write_png(path, make_grid(x, nrow=nrow, padding=padding))
 
 
-def filter_heatmap_grid(w, pad_to=8):
+def filter_heatmap_grid(w):
     """Render a (C_out, C_in, KH, KW) conv kernel as one heatmap grid image
     (C_out rows x C_in cols of KHxKW tiles, per-kernel normalized).
 
@@ -61,12 +61,11 @@ def filter_heatmap_grid(w, pad_to=8):
     (``inf/layers/selfnorm.py:248-278`` ``plot_filters`` and
     ``inf/layers/flowsequential.py:139-142``).
     """
-    import numpy as np
     w = np.asarray(w, np.float32)
     co, ci, kh, kw = w.shape
     lo = w.min(axis=(2, 3), keepdims=True)
     hi = w.max(axis=(2, 3), keepdims=True)
     norm = (w - lo) / np.maximum(hi - lo, 1e-12)
     tiles = norm.reshape(co * ci, 1, kh, kw)
-    return make_grid(np.repeat(tiles, 3, axis=1) * 255.0, nrow=ci,
-                     padding=1)
+    # tiles are already in [0,1] — make_grid does the *255 quantization
+    return make_grid(np.repeat(tiles, 3, axis=1), nrow=ci, padding=1)

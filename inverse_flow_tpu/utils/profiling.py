@@ -34,14 +34,14 @@ class StepTimer:
     milliseconds; pair with StatsRecorder trimming for the reference's
     ``Batch Time Mean/Std`` convention."""
 
-    def __init__(self, sync=None):
-        # sync: callable applied to the step output to force completion
-        # (jax.block_until_ready) before the stop stamp.
-        self.sync = sync
+    def __init__(self):
         self.durations_ms = []
         self._t0 = None
 
     def __enter__(self):
+        # NOTE: the `with` form stamps whatever the body leaves behind —
+        # on an async backend that is DISPATCH time unless the body itself
+        # blocks. Use :meth:`timed` for completion-time measurements.
         self._t0 = time.perf_counter()
         return self
 
@@ -50,6 +50,8 @@ class StepTimer:
         return False
 
     def timed(self, fn, *args, **kwargs):
+        """Run ``fn`` and record wall time INCLUDING device completion
+        (``block_until_ready`` on the output)."""
         import jax
         self._t0 = time.perf_counter()
         out = fn(*args, **kwargs)

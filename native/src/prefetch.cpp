@@ -37,6 +37,7 @@ struct Prefetcher {
   std::condition_variable cv_ready, cv_space;
   std::thread worker;
   std::atomic<bool> stop{false};
+  std::atomic<bool> done{false};  // worker exited (no more batches coming)
 
   int64_t batches_per_epoch() const { return n / batch_size; }
 
@@ -53,6 +54,14 @@ struct Prefetcher {
   }
 
   void run() {
+    run_loop();
+    // consumers parked in next() must wake even though no batch will
+    // ever arrive (early-exit on a bad handle, or stop during destroy)
+    done.store(true);
+    cv_ready.notify_all();
+  }
+
+  void run_loop() {
     // n < batch_size would walk order[] out of bounds below; the python
     // layer rejects this, but never segfault on a bad handle either way
     if (batches_per_epoch() <= 0) return;
@@ -98,18 +107,25 @@ void* ift_prefetch_create(const uint8_t* data, int64_t n, int64_t item_bytes,
   return p;
 }
 
-// Blocks until a batch is available; copies it into out (batch*item bytes).
-void ift_prefetch_next(void* handle, uint8_t* out) {
+// Blocks until a batch is available; copies it into out (batch*item
+// bytes). Returns 0 on success, -1 when no batch will ever arrive (the
+// worker exited — bad handle geometry or a concurrent stop/destroy) so
+// the consumer never parks forever on a dead producer.
+int ift_prefetch_next(void* handle, uint8_t* out) {
   auto* p = static_cast<Prefetcher*>(handle);
   std::vector<uint8_t> batch;
   {
     std::unique_lock<std::mutex> lk(p->mu);
-    p->cv_ready.wait(lk, [&] { return !p->ready.empty(); });
+    p->cv_ready.wait(lk, [&] {
+      return !p->ready.empty() || p->stop.load() || p->done.load();
+    });
+    if (p->ready.empty()) return -1;
     batch = std::move(p->ready.front());
     p->ready.pop();
     p->cv_space.notify_one();
   }
   std::memcpy(out, batch.data(), batch.size());
+  return 0;
 }
 
 int64_t ift_prefetch_batches_per_epoch(void* handle) {

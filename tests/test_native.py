@@ -70,3 +70,45 @@ def test_arrayloader_native_prefetch_path():
             assert item.tobytes() in flat
     # plain path still default for unshuffled loaders
     assert ArrayLoader(data, 8)._prefetcher is None
+
+
+def test_prefetch_next_returns_error_on_dead_worker():
+    """A consumer parked in ift_prefetch_next must NOT hang forever when
+    the worker exits without producing (bad geometry reachable through the
+    raw C API): next() returns -1 promptly instead of re-sleeping on a
+    dead producer."""
+    import ctypes
+    import threading
+
+    lib = native._load()
+    data = np.zeros((4, 8), np.uint8)
+    # batch_size > n: the worker's run loop exits immediately
+    handle = lib.ift_prefetch_create(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        4, 8, 16, 0, 0, 2)
+    out = np.empty((16, 8), np.uint8)
+    rc = []
+
+    def consume():
+        rc.append(lib.ift_prefetch_next(
+            handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))))
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    t.join(timeout=10.0)
+    assert not t.is_alive(), "ift_prefetch_next hung on a dead worker"
+    assert rc == [-1]
+    lib.ift_prefetch_destroy(handle)
+
+
+def test_filter_heatmap_grid_has_gray_levels():
+    """Regression: a double *255 quantization used to saturate every tile
+    to pure white; per-kernel-normalized heatmaps must keep intermediate
+    gray levels."""
+    from inverse_flow_tpu.utils.imaging import filter_heatmap_grid
+    w = np.random.RandomState(0).randn(4, 3, 3, 3).astype(np.float32)
+    grid = filter_heatmap_grid(w)
+    assert grid.dtype == np.uint8
+    interior = grid[grid != 255]
+    # normalized tiles span [0,255]; mid-range values must survive
+    assert ((interior > 20) & (interior < 235)).sum() > 10
